@@ -1,0 +1,168 @@
+"""8-bit block-quantized Lion optimizer (optax GradientTransformation).
+
+Numerics parity with ``/root/reference/lion_quant.py``:
+
+- momentum leaves selected by ``quantize_mask`` are stored as a tuple
+  ``(int8_codes, inv_absmax_scales)`` (detection: leaf is a tuple, L94-95);
+- signed 5th-power companding quantizer with zero-crossing offset
+  ``3.7398995e-09`` (L49-64): q = round(sign(x+off) * |x+off|^(1/5) * 127);
+- blockwise scaling: flat reshape to (-1, block_size), per-block
+  scales = 1/absmax with a zero guard, multiply before quantizing (L66-92) —
+  parameter sizes must therefore be divisible by ``block_size``;
+- Lion update: sign((1-b1) g + b1 dequant(mu)); new momentum
+  quant((1-b2) g + b2 dequant(mu)) (L133-154);
+- ``lion_8bit`` chains the transform with ``add_decayed_weights`` and the
+  (negated) learning rate (L201-211). Default ``block_size`` differs between
+  the two entry points on purpose (16 vs 64), matching the reference.
+
+The pytree-of-blocks layout keeps the int8 codes as flat ``(n, block_size)``
+arrays, which XLA:TPU lays out densely; the fused Pallas path
+(``ops.lion_kernel``) consumes the identical state layout.
+"""
+
+from typing import Any, Callable, NamedTuple, Optional, Union
+
+import chex
+import jax
+import jax.numpy as jnp
+import optax
+
+# offset ensuring x=0 round-trips to exactly 0 through the odd-power compander
+_ZERO_CROSSING_OFFSET = 3.7398995e-09
+
+
+class ScaleBy8bitLionState(NamedTuple):
+    """Lion state: step count, quantized momentum tree, per-leaf quantize flags."""
+
+    count: chex.Array
+    mu_quant: chex.Array  # pytree; quantized leaves are (int8, scales) tuples
+    mu_quant_flag: chex.Array
+
+
+def _is_quantized(node) -> bool:
+    return isinstance(node, tuple)
+
+
+def scale_by_lion_8bit(
+    b1: float = 0.9,
+    b2: float = 0.99,
+    mu_scale_dtype: Optional[chex.ArrayDType] = None,
+    block_size: Optional[int] = 16,
+    excluded_layer_mask: Optional[Any] = None,
+) -> optax.GradientTransformation:
+    """Lion update direction with int8 block-quantized momentum.
+
+    ``excluded_layer_mask``: boolean pytree (or prefix); True leaves get
+    quantized momentum, False leaves keep a dense momentum in
+    ``mu_scale_dtype``.
+    """
+    mu_scale_dtype = jax.dtypes.canonicalize_dtype(mu_scale_dtype)
+
+    def _quantize(x: chex.Array) -> chex.Array:
+        shifted = x + _ZERO_CROSSING_OFFSET
+        sign = jnp.sign(shifted)
+        code = jnp.power(jnp.abs(shifted), 1 / 5) * sign * 127
+        return jnp.round(code).astype(jnp.int8)
+
+    def _dequantize(q: chex.Array) -> chex.Array:
+        return ((q / 127) ** 5).astype(mu_scale_dtype) - _ZERO_CROSSING_OFFSET
+
+    def _block_quantize(leaf: chex.Array):
+        blocks = leaf.reshape(-1, block_size)
+        absmax = jnp.max(jnp.abs(blocks), axis=-1, keepdims=True)
+        # inverse scales with zero-block guard (divide-by-zero -> scale 1)
+        scales = 1 / jnp.where(
+            absmax <= 0.0, jnp.ones_like(absmax, dtype=mu_scale_dtype), absmax
+        )
+        return _quantize(blocks * scales), scales
+
+    def _block_dequantize(shape_struct, codes: chex.Array, scales: chex.Array):
+        blocks = _dequantize(codes) / scales
+        return blocks.reshape(shape_struct.shape)
+
+    def _shape_tree(tree):
+        return jax.tree.map(lambda x: jax.eval_shape(lambda y: y, x), tree)
+
+    def init_fn(params):
+        # allow a plain bool as a broadcast-to-all-leaves mask
+        mask = excluded_layer_mask
+        if isinstance(mask, bool) or mask is None:
+            flag_value = bool(mask)
+            mask = jax.tree_util.tree_map(lambda _: flag_value, params)
+
+        def _init_leaf(_path, leaf, flag):
+            zeros = jnp.zeros_like(leaf, dtype=mu_scale_dtype)
+            return _block_quantize(zeros) if flag else zeros
+
+        mu_quant = jax.tree_util.tree_map_with_path(_init_leaf, params, mask)
+        return ScaleBy8bitLionState(
+            count=jnp.zeros([], jnp.int32),
+            mu_quant=mu_quant,
+            mu_quant_flag=mask,
+        )
+
+    def update_fn(updates, state, params=None):
+        del params
+        shapes = _shape_tree(updates)
+
+        # update direction: sign of the b1-interpolation of grad and momentum.
+        # `updates` (first arg) defines the tree structure, so the (int8, scales)
+        # tuples inside mu_quant arrive at the lambda whole.
+        updates_new = jax.tree_util.tree_map(
+            lambda g, m, shape: (
+                jnp.sign((1.0 - b1) * g + b1 * _block_dequantize(shape, *m))
+                if _is_quantized(m)
+                else jnp.sign((1.0 - b1) * g + b1 * m)
+            ),
+            updates,
+            state.mu_quant,
+            shapes,
+        )
+
+        # new momentum: b2 EMA of grads, requantized where flagged
+        mu_quant = jax.tree_util.tree_map(
+            lambda g, m, shape: (
+                _block_quantize((1 - b2) * g + b2 * _block_dequantize(shape, *m))
+                if _is_quantized(m)
+                else (1 - b2) * g + b2 * m
+            ),
+            updates,
+            state.mu_quant,
+            shapes,
+        )
+        count_inc = optax.safe_int32_increment(state.count)
+        return updates_new, ScaleBy8bitLionState(
+            count=count_inc, mu_quant=mu_quant, mu_quant_flag=state.mu_quant_flag
+        )
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def lion_8bit(
+    learning_rate: Union[float, Callable],
+    b1: float = 0.9,
+    b2: float = 0.99,
+    mu_scale_dtype: Optional[Any] = None,
+    block_size: int = 64,
+    weight_decay: float = 1e-3,
+    mask: Optional[Union[Any, Callable]] = None,
+    excluded_layer_mask: Optional[Any] = None,
+) -> optax.GradientTransformation:
+    """Lion with int8 momentum: quantized-Lion -> decoupled weight decay -> lr.
+
+    ``mask`` selects which leaves receive weight decay; ``excluded_layer_mask``
+    selects which leaves get quantized momentum. Note the decay here is
+    multiplied by the learning rate downstream (PyTorch-style), matching the
+    reference chain order.
+    """
+    return optax.chain(
+        scale_by_lion_8bit(
+            b1=b1,
+            b2=b2,
+            mu_scale_dtype=mu_scale_dtype,
+            block_size=block_size,
+            excluded_layer_mask=excluded_layer_mask,
+        ),
+        optax.add_decayed_weights(weight_decay, mask),
+        optax.scale_by_learning_rate(learning_rate),
+    )
