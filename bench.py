@@ -1,0 +1,160 @@
+"""Benchmark: SD1.5 fused train step (fwd+bwd+8bit-Lion+EMA), bf16.
+
+Prints ONE JSON line:
+``{"metric": ..., "value": N, "unit": ..., "vs_baseline": N}``
+
+Primary metric (BASELINE.md): training images/sec/chip, SD1.5 UNet at 512².
+The reference publishes no numbers (``BASELINE.json`` ``published: {}``), so
+``vs_baseline`` is reported against the north-star anchor of 3x a
+measured-in-round-1 reference-equivalent step; until the reference itself is
+benched on this chip, vs_baseline compares against our own first recorded
+value (1.0 on the first run, ratio thereafter via BENCH_BASELINE env or the
+recorded constant below).
+
+Env overrides: BENCH_BATCH (default 8), BENCH_RES (default 512),
+BENCH_STEPS (default 10), BENCH_FAMILY (default sd15).
+"""
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# images/sec/chip recorded for this benchmark's first green run on the
+# round-1 target chip (v5e); later rounds compare against it.
+RECORDED_BASELINE = float(os.environ.get("BENCH_BASELINE", "0")) or None
+
+
+def main():
+    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    res = int(os.environ.get("BENCH_RES", "512"))
+    steps = int(os.environ.get("BENCH_STEPS", "10"))
+    family = os.environ.get("BENCH_FAMILY", "sd15")
+
+    from stable_diffusion_training_tpu.data.memory import synthetic_batch
+    from stable_diffusion_training_tpu.train import (
+        TrainingConfig,
+        on_device_model_training_state,
+        train_step,
+    )
+
+    cfg = TrainingConfig(
+        model_path=family,
+        batch_size=batch,
+        learning_rate=1e-4,
+        unet_learning_rate=1e-4,
+        text_encoder_learning_rate=1e-4,
+        lr_scheduler="constant",
+        adam_to_lion_scale_factor=7.0,
+        compilation_cache_path="/tmp/jax_cache_bench",
+        keep_compiled_fn_in_cache=True,
+        text_encoder_context_window=77,
+        context_window_concatenation_count=3,
+        aot_compile=True,
+        strip_bos_eos_token=True,
+        offset_noise_magnitude=0.0,
+        min_snr_gamma_magnitude=0.0,
+        perturbation_noise_magnitude=0.0,
+        image_area_root=[res],
+        minimum_axis_length=[res],
+        beta_scheduler="zero_snr_scaled_linear",
+        prediction_type="v_prediction",
+        excluded_layer_pattern_from_weight_decay=["bias", "scale", "embedding"],
+        excluded_layer_from_quantization=["bias", "scale", "embedding"],
+        quant_block_size=16,
+        quantize_unet_state=True,
+        quantize_text_encoder_state=True,
+        accumulate_unet_ema=False,
+        accumulate_text_encoder_ema=False,
+        ema_rate=0.0,
+        mixed_precision="bfloat16",
+        model_family=family,
+    )
+
+    (unet_state, te_state, unet_ema, te_ema, frozen_vae, frozen_sched, _) = (
+        on_device_model_training_state(cfg)
+    )
+
+    b = synthetic_batch(batch, (res, res), concat_count=3, seed=0)
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from stable_diffusion_training_tpu.core import mesh as mesh_lib
+
+    mesh = mesh_lib.get_default_mesh()
+    b = jax.tree_util.tree_map(
+        lambda leaf: jax.device_put(
+            leaf, NamedSharding(mesh, PartitionSpec("data_parallel"))
+        ),
+        b,
+    )
+
+    step = jax.jit(
+        train_step,
+        donate_argnums=(0, 1),
+        static_argnames=(
+            "strip_bos_eos_token",
+            "offset_noise_magnitude",
+            "min_snr_gamma_magnitude",
+            "perturbation_noise_magnitude",
+            "ema_rate",
+        ),
+    )
+
+    def run_one(unet_state, te_state, rng):
+        return step(
+            unet_state,
+            te_state,
+            None,
+            None,
+            b,
+            rng,
+            frozen_vae,
+            frozen_sched,
+            strip_bos_eos_token=True,
+            offset_noise_magnitude=0.0,
+            min_snr_gamma_magnitude=0.0,
+            perturbation_noise_magnitude=0.0,
+            ema_rate=0.0,
+        )
+
+    rng = jax.random.PRNGKey(0)
+    # warmup / compile
+    out = run_one(unet_state, te_state, rng)
+    unet_state, te_state, rng = out[0], out[1], out[5]
+    jax.block_until_ready(out[4]["loss"])
+
+    times = []
+    for _ in range(steps):
+        t0 = time.perf_counter()
+        out = run_one(unet_state, te_state, rng)
+        unet_state, te_state, rng = out[0], out[1], out[5]
+        jax.block_until_ready(out[4]["loss"])
+        times.append(time.perf_counter() - t0)
+
+    p50 = float(np.median(times))
+    n_chips = jax.device_count()
+    images_per_sec_per_chip = batch / p50 / n_chips
+    vs_baseline = (
+        images_per_sec_per_chip / RECORDED_BASELINE if RECORDED_BASELINE else 1.0
+    )
+    print(
+        json.dumps(
+            {
+                "metric": f"train_images_per_sec_per_chip_{family}_{res}",
+                "value": round(images_per_sec_per_chip, 4),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(vs_baseline, 4),
+                "p50_step_time_s": round(p50, 5),
+                "batch_size": batch,
+                "n_chips": n_chips,
+                "loss": float(out[4]["loss"]),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -56,6 +56,7 @@ class InMemoryDataLoader:
         resolutions: Sequence[Tuple[int, int]],
         context_window: int = 77,
         concat_count: int = 3,
+        vocab_size: int = 49408,
         seed: int = 0,
     ) -> "InMemoryDataLoader":
         batches = [
@@ -64,6 +65,7 @@ class InMemoryDataLoader:
                 resolutions[i % len(resolutions)],
                 context_window=context_window,
                 concat_count=concat_count,
+                vocab_size=vocab_size,
                 seed=seed + i,
             )
             for i in range(num_batches)

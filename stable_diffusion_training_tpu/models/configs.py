@@ -1,0 +1,169 @@
+"""Canonical model configurations: SD1.5, SD2.1, SDXL, plus tiny test sizes.
+
+The reference obtains these implicitly via HF ``from_pretrained`` on a
+checkpoint directory (``/root/reference/training_utils.py:207-222``); here the
+architecture families are explicit data so models can be built without
+network access and checkpoints only carry weights.
+"""
+
+from typing import Any, Dict
+
+SD15_UNET: Dict[str, Any] = dict(
+    sample_size=64,
+    in_channels=4,
+    out_channels=4,
+    down_block_types=(
+        "CrossAttnDownBlock2D",
+        "CrossAttnDownBlock2D",
+        "CrossAttnDownBlock2D",
+        "DownBlock2D",
+    ),
+    up_block_types=(
+        "UpBlock2D",
+        "CrossAttnUpBlock2D",
+        "CrossAttnUpBlock2D",
+        "CrossAttnUpBlock2D",
+    ),
+    block_out_channels=(320, 640, 1280, 1280),
+    layers_per_block=2,
+    attention_head_dim=8,  # head *count* (diffusers SD1.5 naming quirk)
+    cross_attention_dim=768,
+    use_linear_projection=False,
+)
+
+SD21_UNET: Dict[str, Any] = dict(
+    sample_size=96,
+    in_channels=4,
+    out_channels=4,
+    down_block_types=(
+        "CrossAttnDownBlock2D",
+        "CrossAttnDownBlock2D",
+        "CrossAttnDownBlock2D",
+        "DownBlock2D",
+    ),
+    up_block_types=(
+        "UpBlock2D",
+        "CrossAttnUpBlock2D",
+        "CrossAttnUpBlock2D",
+        "CrossAttnUpBlock2D",
+    ),
+    block_out_channels=(320, 640, 1280, 1280),
+    layers_per_block=2,
+    attention_head_dim=(5, 10, 20, 20),  # d_head=64 at every scale
+    cross_attention_dim=1024,
+    use_linear_projection=True,
+)
+
+SDXL_UNET: Dict[str, Any] = dict(
+    sample_size=128,
+    in_channels=4,
+    out_channels=4,
+    down_block_types=(
+        "DownBlock2D",
+        "CrossAttnDownBlock2D",
+        "CrossAttnDownBlock2D",
+    ),
+    up_block_types=(
+        "CrossAttnUpBlock2D",
+        "CrossAttnUpBlock2D",
+        "UpBlock2D",
+    ),
+    block_out_channels=(320, 640, 1280),
+    layers_per_block=2,
+    transformer_layers_per_block=(1, 2, 10),
+    attention_head_dim=(5, 10, 20),
+    num_attention_heads=None,
+    cross_attention_dim=2048,
+    use_linear_projection=True,
+    addition_embed_type="text_time",
+    addition_time_embed_dim=256,
+    projection_class_embeddings_input_dim=2816,
+)
+
+SD_VAE: Dict[str, Any] = dict(
+    in_channels=3,
+    out_channels=3,
+    block_out_channels=(128, 256, 512, 512),
+    layers_per_block=2,
+    latent_channels=4,
+    sample_size=512,
+    scaling_factor=0.18215,
+)
+
+SDXL_VAE: Dict[str, Any] = dict(SD_VAE, sample_size=1024, scaling_factor=0.13025)
+
+CLIP_VIT_L: Dict[str, Any] = dict(  # SD1.5 / SDXL text_encoder 1
+    vocab_size=49408,
+    hidden_size=768,
+    intermediate_size=3072,
+    num_hidden_layers=12,
+    num_attention_heads=12,
+    max_position_embeddings=77,
+    hidden_act="quick_gelu",
+)
+
+OPEN_CLIP_VIT_H: Dict[str, Any] = dict(  # SD2.1 (ships layers 1..23 of 24)
+    vocab_size=49408,
+    hidden_size=1024,
+    intermediate_size=4096,
+    num_hidden_layers=23,
+    num_attention_heads=16,
+    max_position_embeddings=77,
+    hidden_act="gelu",
+)
+
+OPEN_CLIP_VIT_BIGG: Dict[str, Any] = dict(  # SDXL text_encoder 2
+    vocab_size=49408,
+    hidden_size=1280,
+    intermediate_size=5120,
+    num_hidden_layers=32,
+    num_attention_heads=20,
+    max_position_embeddings=77,
+    hidden_act="gelu",
+    projection_dim=1280,
+)
+
+# --- tiny configs for tests / CPU CI ---------------------------------------
+TINY_UNET: Dict[str, Any] = dict(
+    sample_size=8,
+    in_channels=4,
+    out_channels=4,
+    down_block_types=("CrossAttnDownBlock2D", "DownBlock2D"),
+    up_block_types=("UpBlock2D", "CrossAttnUpBlock2D"),
+    block_out_channels=(32, 64),
+    layers_per_block=1,
+    attention_head_dim=2,
+    cross_attention_dim=32,
+)
+
+TINY_VAE: Dict[str, Any] = dict(
+    in_channels=3,
+    out_channels=3,
+    block_out_channels=(32, 64),
+    layers_per_block=1,
+    latent_channels=4,
+    sample_size=32,
+    scaling_factor=0.18215,
+)
+
+TINY_CLIP: Dict[str, Any] = dict(
+    vocab_size=1000,
+    hidden_size=32,
+    intermediate_size=64,
+    num_hidden_layers=2,
+    num_attention_heads=4,
+    max_position_embeddings=77,
+    hidden_act="quick_gelu",
+)
+
+MODEL_FAMILIES = {
+    "sd15": dict(unet=SD15_UNET, vae=SD_VAE, text_encoder=CLIP_VIT_L),
+    "sd21": dict(unet=SD21_UNET, vae=SD_VAE, text_encoder=OPEN_CLIP_VIT_H),
+    "sdxl": dict(
+        unet=SDXL_UNET,
+        vae=SDXL_VAE,
+        text_encoder=CLIP_VIT_L,
+        text_encoder_2=OPEN_CLIP_VIT_BIGG,
+    ),
+    "tiny": dict(unet=TINY_UNET, vae=TINY_VAE, text_encoder=TINY_CLIP),
+}

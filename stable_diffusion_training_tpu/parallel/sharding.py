@@ -1,0 +1,92 @@
+"""Sharding rules over the named mesh.
+
+Design (scaling-book recipe): pick a mesh with axes ``data_parallel`` /
+``fsdp`` / ``model_parallel``, annotate params/batch with PartitionSpecs, and
+let GSPMD insert the collectives (all-gather for FSDP params, reduce-scatter
+for grads, all-reduce for DP) over ICI.
+
+FSDP rule: shard each leaf's largest axis whose size divides the ``fsdp`` axis
+size; leaves too small stay replicated. This is ZeRO-3-style param+optimizer
+sharding without any resharding code — XLA handles gather/scatter.
+
+TP rule (UNet/CLIP matmuls): column-parallel on to_q/k/v + FF-in kernels
+(shard output axis), row-parallel on to_out / FF-out (shard input axis),
+replicated elsewhere — the Megatron layout expressed as PartitionSpecs.
+"""
+
+from typing import Any, Optional
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+
+def _axis_size(mesh: Mesh, name: str) -> int:
+    return dict(zip(mesh.axis_names, mesh.devices.shape)).get(name, 1)
+
+
+def replicated_tree(tree: Any, mesh: Mesh):
+    return jax.tree_util.tree_map(
+        lambda _: NamedSharding(mesh, PartitionSpec()), tree
+    )
+
+
+def batch_sharding_tree(tree: Any, mesh: Mesh, axis: str = "data_parallel"):
+    """Leading-axis batch sharding for every leaf
+    (reference ``training_utils.py:835-840``)."""
+    return jax.tree_util.tree_map(
+        lambda _: NamedSharding(mesh, PartitionSpec(axis)), tree
+    )
+
+
+def params_fsdp_sharding(tree: Any, mesh: Mesh, axis: str = "fsdp"):
+    """Per-leaf FSDP NamedShardings: shard the largest divisible dim."""
+    n = _axis_size(mesh, axis)
+
+    def _leaf_spec(leaf) -> PartitionSpec:
+        shape = getattr(leaf, "shape", ())
+        if n <= 1 or not shape:
+            return PartitionSpec()
+        # prefer the largest axis; require divisibility so layouts stay dense
+        order = sorted(range(len(shape)), key=lambda i: -shape[i])
+        for i in order:
+            if shape[i] % n == 0 and shape[i] >= 2 * n:
+                spec = [None] * len(shape)
+                spec[i] = axis
+                return PartitionSpec(*spec)
+        return PartitionSpec()
+
+    return jax.tree_util.tree_map(
+        lambda leaf: NamedSharding(mesh, _leaf_spec(leaf)), tree
+    )
+
+
+_TP_COLUMN = ("to_q", "to_k", "to_v", "q_proj", "k_proj", "v_proj", "mlp_fc1")
+_TP_ROW = ("to_out", "out_proj", "mlp_fc2")
+_TP_GEGLU = ("net_0",)  # GEGLU proj: output axis, but split in (value, gate)
+
+
+def params_tp_sharding(
+    tree: Any, mesh: Mesh, axis: str = "model_parallel"
+):
+    """Megatron-style tensor-parallel PartitionSpecs for attention/FF kernels."""
+    n = _axis_size(mesh, axis)
+
+    def _spec_for(path, leaf) -> PartitionSpec:
+        shape = getattr(leaf, "shape", ())
+        if n <= 1 or len(shape) != 2:
+            return PartitionSpec()
+        names = tuple(getattr(k, "key", str(k)) for k in path)
+        parent = names[-2] if len(names) >= 2 else ""
+        if parent in _TP_COLUMN or parent in _TP_GEGLU:
+            return (
+                PartitionSpec(None, axis) if shape[1] % n == 0 else PartitionSpec()
+            )
+        if parent in _TP_ROW:
+            return (
+                PartitionSpec(axis, None) if shape[0] % n == 0 else PartitionSpec()
+            )
+        return PartitionSpec()
+
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: NamedSharding(mesh, _spec_for(path, leaf)), tree
+    )

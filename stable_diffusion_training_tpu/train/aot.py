@@ -1,0 +1,209 @@
+"""AOT multi-resolution compiler: one XLA program per aspect-ratio bucket.
+
+Behavior parity with ``dp_compile_all_unique_resolution`` at
+``/root/reference/training_utils.py:765-983``: persistent compilation cache,
+the same bucket sweep (``calculate_resolution_array`` per (area, min-axis)
+tier), dummy CPU batches ``pixel_values (B,3,res0,res1) f32`` +
+``(B*concat, 77) i32`` ids/mask, donated state args, DP batch sharding,
+lowering on the main thread with ``.compile()`` overlapped on worker threads,
+and a result dict keyed by the ``pixel_values`` shape tuple (the training
+loop dispatches on ``batch["pixel_values"].shape`` —
+``/root/reference/training.py:221``).
+
+TPU-native: shardings come from the caller's mesh (replicated or FSDP states,
+DP batch axis) instead of a module-global mesh.
+"""
+
+import gc
+from threading import Thread
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+from ..core import mesh as mesh_lib
+from ..data.buckets import calculate_resolution_array
+from ..utils.timing import TimingContextManager
+from .config import TrainingConfig
+from .train_step import train_step
+
+
+def initialize_compilation_cache(path: str) -> None:
+    """Enable JAX's persistent XLA compilation cache
+    (reference ``cc.initialize_cache``, ``training_utils.py:775-776``)."""
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def all_unique_resolutions(training_config: TrainingConfig) -> np.ndarray:
+    buckets = []
+    for area_root, min_axis in zip(
+        training_config.image_area_root, training_config.minimum_axis_length
+    ):
+        buckets.append(
+            calculate_resolution_array(
+                max_res_area=area_root**2,
+                bucket_lower_bound_res=min_axis,
+                rounding=64,
+            )
+        )
+    return np.concatenate(buckets)
+
+
+def dp_compile_all_unique_resolution(
+    unet_state: Any,
+    text_encoder_state: Any,
+    unet_ema_params: Optional[dict],
+    text_encoder_ema_params: Optional[dict],
+    frozen_vae: Any,
+    frozen_schedulers: Any,
+    training_config: TrainingConfig,
+    mesh: Optional[Mesh] = None,
+) -> Dict[tuple, jax.stages.Compiled]:
+    """Compile ``train_step`` for every bucket; returns
+    ``{pixel_values_shape: Compiled}``."""
+    mesh = mesh or mesh_lib.get_default_mesh()
+    if (
+        jax.devices()[0].platform == "tpu"
+        and training_config.keep_compiled_fn_in_cache
+    ):
+        initialize_compilation_cache(training_config.compilation_cache_path)
+
+    all_possible_resolution = all_unique_resolutions(training_config)
+
+    # sharding trees: state layouts are taken from how the caller placed them
+    # (replicated by default, FSDP when enabled) so AOT matches runtime
+    def _current_sharding(tree):
+        return jax.tree_util.tree_map(
+            lambda leaf: (
+                leaf.sharding
+                if hasattr(leaf, "sharding")
+                else NamedSharding(mesh, PartitionSpec())
+            ),
+            tree,
+        )
+
+    replicated = lambda tree: jax.tree_util.tree_map(  # noqa: E731
+        lambda _: NamedSharding(mesh, PartitionSpec()), tree
+    )
+    batch_spec = NamedSharding(mesh, PartitionSpec("data_parallel", None))
+
+    unet_sh = _current_sharding(unet_state)
+    text_sh = _current_sharding(text_encoder_state)
+    unet_ema_sh = (
+        _current_sharding(unet_ema_params)
+        if training_config.accumulate_unet_ema
+        else None
+    )
+    text_ema_sh = (
+        _current_sharding(text_encoder_ema_params)
+        if training_config.accumulate_text_encoder_ema
+        else None
+    )
+    vae_sh = replicated(frozen_vae)
+    sched_sh = replicated(frozen_schedulers)
+
+    def _create_lowered_hlo(bucket_resolution: np.ndarray):
+        dummy_rngs = jax.random.PRNGKey(2)
+        with jax.default_device(jax.devices("cpu")[0]):
+            batch = {
+                "pixel_values": jnp.zeros(
+                    shape=(
+                        training_config.batch_size,
+                        3,
+                        int(bucket_resolution[0]),
+                        int(bucket_resolution[1]),
+                    ),
+                    dtype=jnp.float32,
+                ),
+                "input_ids": jnp.zeros(
+                    shape=(
+                        training_config.batch_size
+                        * training_config.context_window_concatenation_count,
+                        training_config.text_encoder_context_window,
+                    ),
+                    dtype=jnp.int32,
+                ),
+                "attention_mask": jnp.zeros(
+                    shape=(
+                        training_config.batch_size
+                        * training_config.context_window_concatenation_count,
+                        training_config.text_encoder_context_window,
+                    ),
+                    dtype=jnp.int32,
+                ),
+            }
+        image_shape = batch["pixel_values"].shape
+        batch = jax.tree_util.tree_map(
+            lambda leaf: jax.device_put(leaf, device=batch_spec), batch
+        )
+
+        p_train_step = jax.jit(
+            train_step,
+            donate_argnums=(0, 1, 2, 3),
+            in_shardings=(
+                unet_sh,
+                text_sh,
+                unet_ema_sh,
+                text_ema_sh,
+                jax.tree_util.tree_map(lambda _: batch_spec, batch),
+                None,  # rng — let the compiler place it
+                vae_sh,
+                sched_sh,
+            ),
+            static_argnames=(
+                "strip_bos_eos_token",
+                "offset_noise_magnitude",
+                "min_snr_gamma_magnitude",
+                "perturbation_noise_magnitude",
+                "ema_rate",
+            ),
+            out_shardings=(
+                unet_sh,
+                text_sh,
+                unet_ema_sh,
+                text_ema_sh,
+                {"loss": NamedSharding(mesh, PartitionSpec())},
+                None,
+            ),
+        )
+
+        with TimingContextManager(f"lowering {bucket_resolution}"):
+            lowered_hlo = p_train_step.lower(
+                unet_state,
+                text_encoder_state,
+                unet_ema_params,
+                text_encoder_ema_params,
+                batch,
+                dummy_rngs,
+                frozen_vae,
+                frozen_schedulers,
+                training_config.strip_bos_eos_token,
+                training_config.offset_noise_magnitude,
+                training_config.min_snr_gamma_magnitude,
+                training_config.perturbation_noise_magnitude,
+                training_config.ema_rate,
+            )
+        del batch
+        gc.collect()
+        return lowered_hlo, image_shape
+
+    compiled_train_step: Dict[tuple, jax.stages.Compiled] = {}
+
+    def _compile_unique_res_train_step(hlo, resolution):
+        # each thread writes a distinct key; dict writes are GIL-atomic
+        compiled_train_step[resolution] = hlo.compile()
+
+    with TimingContextManager("lowering all res"):
+        threads = []
+        for bucket_resolution in all_possible_resolution:
+            lowered = _create_lowered_hlo(bucket_resolution)
+            thread = Thread(target=_compile_unique_res_train_step, args=lowered)
+            threads.append(thread)
+            thread.start()
+        for thread in threads:
+            thread.join()
+
+    return compiled_train_step

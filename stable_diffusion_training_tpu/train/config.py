@@ -1,0 +1,85 @@
+"""Training configuration.
+
+API parity with ``TrainingConfig`` at ``/root/reference/training_utils.py:52-113``
+(all 29 fields, same names) plus the load pattern at
+``/root/reference/training.py:38-40`` — the raw JSON dict carries ~20 extra
+run-state keys (repos, chunking, resume counters) and only the dataclass-field
+subset builds the typed config.
+
+Dead/ignored fields preserved for compatibility (SURVEY.md §2.2):
+``lr_scheduler`` (only constant implemented), ``aot_compile`` (never read),
+``learning_rate``; the reference also does NOT forward
+``unet_learning_rate``/``text_encoder_learning_rate``/
+``adam_to_lion_scale_factor`` into the optimizer — see
+``on_device_model_training_state``. New fields added here (all defaulted so
+reference configs load unchanged) are marked "new".
+"""
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional
+
+
+@dataclass
+class TrainingConfig:
+    model_path: str
+    batch_size: int
+    learning_rate: float
+    unet_learning_rate: float
+    text_encoder_learning_rate: float
+    lr_scheduler: str
+    adam_to_lion_scale_factor: float
+    compilation_cache_path: str
+    keep_compiled_fn_in_cache: bool
+    text_encoder_context_window: int
+    context_window_concatenation_count: int
+    aot_compile: bool
+    strip_bos_eos_token: bool
+    offset_noise_magnitude: float
+    min_snr_gamma_magnitude: float
+    perturbation_noise_magnitude: float
+    image_area_root: List[int]
+    minimum_axis_length: List[int]
+    beta_scheduler: str
+    prediction_type: str
+    excluded_layer_pattern_from_weight_decay: List[str]
+    excluded_layer_from_quantization: List[str]
+    quant_block_size: int
+    quantize_unet_state: bool
+    quantize_text_encoder_state: bool
+    accumulate_unet_ema: bool
+    accumulate_text_encoder_ema: bool
+    ema_rate: float
+
+    # --- new (TPU-native) fields, defaulted for reference-config compat ------
+    model_family: str = "sd15"  # architecture family when building fresh models
+    mesh_shape: Optional[List[int]] = None  # None -> (device_count, 1) pure DP
+    mesh_axis_names: Optional[List[str]] = None
+    fsdp_shard_params: bool = False  # ZeRO-style param sharding on "fsdp" axis
+    gradient_checkpointing: bool = False
+    train_unet: bool = True
+    train_text_encoder: bool = True
+    mixed_precision: str = "bfloat16"  # computation dtype for the models
+    attention_backend: str = "auto"  # "auto" | "flash" | "xla"
+    seed_init: int = 0  # rng for fresh-family init
+
+    def replace(self, **kwargs) -> "TrainingConfig":
+        return dataclasses.replace(self, **kwargs)
+
+
+_FIELD_NAMES = {f.name for f in dataclasses.fields(TrainingConfig)}
+_REQUIRED = {
+    f.name
+    for f in dataclasses.fields(TrainingConfig)
+    if f.default is dataclasses.MISSING and f.default_factory is dataclasses.MISSING
+}
+
+
+def training_config_from_dict(config_dict: Dict[str, Any]) -> TrainingConfig:
+    """Build the typed config from the raw JSON dict, keeping only dataclass
+    fields — the exact subset rule at ``/root/reference/training.py:38-40``."""
+    missing = _REQUIRED - set(config_dict)
+    if missing:
+        raise KeyError(f"model_properties config missing keys: {sorted(missing)}")
+    subset = {k: v for k, v in config_dict.items() if k in _FIELD_NAMES}
+    return TrainingConfig(**subset)

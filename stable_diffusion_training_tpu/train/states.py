@@ -1,0 +1,333 @@
+"""Model/state assembly: load models, build Lion TrainStates, place on mesh.
+
+Behavior parity with ``/root/reference/training_utils.py:40-50, 177-501``
+(``FrozenModel``, ``load_models``, ``create_frozen_states``,
+``create_lion_optimizer_states``, ``on_device_model_training_state``) —
+including the reference's quirks, reproduced deliberately:
+
+- ``on_device_model_training_state`` hardcodes ``adam_to_lion_scale_factor=7``
+  and does NOT forward the configured learning rates (they fall to the 1e-6
+  defaults) — ``training_utils.py:432-442`` vs ``:287-288``;
+- EMA buffers start as copies of the *initial* params (``:466-483``);
+- optimizer construction runs on CPU to keep HBM free (``:353``).
+
+TPU-native differences: models are this framework's NHWC implementations (no
+HF dependency), placement supports FSDP param sharding on an ``fsdp`` mesh
+axis in addition to the reference's fully-replicated layout.
+"""
+
+import os
+from typing import Any, Callable, Optional
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.training import train_state
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+from ..core import mesh as mesh_lib
+from ..diffusion import DDPMScheduler
+from ..models import AutoencoderKL, CLIPTextModel, UNet2DConditionModel, configs
+from ..models import hf_io
+from ..optim import create_mask, lion_8bit
+from ..parallel.sharding import params_fsdp_sharding
+from .config import TrainingConfig
+
+
+class FrozenModel(struct.PyTreeNode):
+    """Bundle a non-pytree model/scheduler object with its pytree params so
+    frozen modules pass through jit (reference ``training_utils.py:40-49``)."""
+
+    call: Callable = struct.field(pytree_node=False)
+    params: Any = struct.field(pytree_node=True)
+
+
+def _dtype_from_name(name: str):
+    return {
+        "bfloat16": jnp.bfloat16,
+        "bf16": jnp.bfloat16,
+        "float32": jnp.float32,
+        "fp32": jnp.float32,
+        "no": jnp.float32,
+    }[name]
+
+
+def _is_checkpoint_dir(path: str) -> bool:
+    return os.path.isdir(os.path.join(path, "unet"))
+
+
+def load_models(training_config: TrainingConfig) -> dict:
+    """Load (or freshly build) UNet/VAE/text-encoder + the training scheduler.
+
+    Returns the reference's nested dict shape
+    (``/root/reference/training_utils.py:233-250``). ``model_path`` may be:
+    - a diffusers-format checkpoint directory (unet/vae/text_encoder
+      subfolders) — weights converted from safetensors;
+    - a model family name (``sd15``/``sd21``/``sdxl``/``tiny``) — random
+      init seeded by ``seed_init`` (tests, benchmarks).
+    """
+    dtype = _dtype_from_name(training_config.mixed_precision)
+    model_dir = training_config.model_path
+    common = dict(
+        dtype=dtype,
+        param_dtype=dtype,
+        data_format="NHWC",
+    )
+
+    if _is_checkpoint_dir(model_dir):
+        unet_cfg = hf_io.load_config_json(os.path.join(model_dir, "unet"))
+        vae_cfg = hf_io.load_config_json(os.path.join(model_dir, "vae"))
+        te_cfg = hf_io.load_config_json(os.path.join(model_dir, "text_encoder"))
+        if "text_config" in te_cfg:  # transformers CLIPConfig wrapper
+            te_cfg = te_cfg["text_config"]
+        unet = UNet2DConditionModel.from_config(
+            unet_cfg,
+            gradient_checkpointing=training_config.gradient_checkpointing,
+            attention_backend=training_config.attention_backend,
+            **common,
+        )
+        vae = AutoencoderKL.from_config(vae_cfg, **common)
+        text_encoder = CLIPTextModel.from_config(
+            te_cfg, dtype=dtype, param_dtype=dtype
+        )
+        unet_params = hf_io.load_unet_params(os.path.join(model_dir, "unet"), dtype)
+        vae_params = hf_io.load_vae_params(os.path.join(model_dir, "vae"), dtype)
+        text_encoder_params = hf_io.load_text_encoder_params(
+            os.path.join(model_dir, "text_encoder"), dtype
+        )
+        tokenizer = _try_load_tokenizer(model_dir)
+    else:
+        family = configs.MODEL_FAMILIES[
+            model_dir if model_dir in configs.MODEL_FAMILIES
+            else training_config.model_family
+        ]
+        rng = jax.random.PRNGKey(training_config.seed_init)
+        unet = UNet2DConditionModel(
+            **family["unet"],
+            gradient_checkpointing=training_config.gradient_checkpointing,
+            attention_backend=training_config.attention_backend,
+            **common,
+        )
+        vae = AutoencoderKL(**family["vae"], **common)
+        text_encoder = CLIPTextModel(**family["text_encoder"], dtype=dtype, param_dtype=dtype)
+        with jax.default_device(jax.devices("cpu")[0]):
+            unet_params = unet.init(rng)
+            vae_params = vae.init(rng)
+            text_encoder_params = text_encoder.init(rng)
+        tokenizer = None
+
+    noise_scheduler = DDPMScheduler(
+        beta_start=0.00085,
+        beta_end=0.012,
+        beta_schedule=training_config.beta_scheduler,
+        num_train_timesteps=1000,
+        prediction_type=training_config.prediction_type,
+    )
+    noise_scheduler_state = noise_scheduler.create_state()
+
+    return {
+        "unet": {"unet_params": unet_params, "unet_model": unet},
+        "vae": {"vae_params": vae_params, "vae_model": vae},
+        "text_encoder": {
+            "text_encoder_params": text_encoder_params,
+            "text_encoder_model": text_encoder,
+        },
+        "schedulers": {
+            "noise_scheduler_state": noise_scheduler_state,
+            "noise_scheduler_object": noise_scheduler,
+        },
+        "tokenizer": tokenizer,
+    }
+
+
+def _try_load_tokenizer(model_dir: str):
+    tok_dir = os.path.join(model_dir, "tokenizer")
+    if not os.path.isdir(tok_dir):
+        return None
+    try:
+        from transformers import CLIPTokenizer
+
+        return CLIPTokenizer.from_pretrained(tok_dir)
+    except Exception:
+        return None
+
+
+def create_frozen_states(models: dict) -> dict:
+    """Bundle VAE + noise scheduler as FrozenModels
+    (reference ``training_utils.py:253-278``)."""
+    vae_state = FrozenModel(
+        call=models["vae"]["vae_model"], params=models["vae"]["vae_params"]
+    )
+    schedulers_state = FrozenModel(
+        call=models["schedulers"]["noise_scheduler_object"],
+        params=models["schedulers"]["noise_scheduler_state"],
+    )
+    return {"vae_state": vae_state, "schedulers_state": schedulers_state}
+
+
+def create_lion_optimizer_states(
+    models: dict,
+    train_unet: bool = True,
+    train_text_encoder: bool = True,
+    adam_to_lion_scale_factor: float = 7,
+    u_net_learning_rate: float = 1e-6,
+    text_encoder_learning_rate: float = 1e-6,
+    excluded_layer_pattern_from_weight_decay: Optional[list] = None,
+    excluded_layer_from_quantization: Optional[list] = None,
+    lion_8bit_block_size: Optional[int] = None,
+    quantize_unet_state: bool = False,
+    quantize_text_encoder_state: bool = False,
+) -> dict:
+    """Build clip(1) -> Lion(8-bit or dense) TrainStates on CPU.
+
+    Chain order, betas, decay scaling, and LR division match the reference
+    (``training_utils.py:281-427``): lr = configured/scale_factor, decay =
+    1e-2*scale_factor, Lion b1=0.9 b2=0.99.
+    """
+    excluded_layer_pattern_from_weight_decay = (
+        excluded_layer_pattern_from_weight_decay or []
+    )
+    excluded_layer_from_quantization = excluded_layer_from_quantization or []
+    unet_state = None
+    text_encoder_state = None
+
+    def _decay_mask(params):
+        if not excluded_layer_pattern_from_weight_decay:
+            return None
+        return create_mask(params, excluded_layer_pattern_from_weight_decay)
+
+    def _build(model, params, apply_fn, learning_rate, quantize):
+        schedule = optax.constant_schedule(learning_rate / adam_to_lion_scale_factor)
+        decay_mask = _decay_mask(params)
+        if quantize:
+            quant_mask = create_mask(params, excluded_layer_from_quantization)
+            lion = lion_8bit(
+                learning_rate=schedule,
+                b1=0.9,
+                b2=0.99,
+                weight_decay=1e-2 * adam_to_lion_scale_factor,
+                mask=decay_mask,
+                block_size=lion_8bit_block_size,
+                excluded_layer_mask=quant_mask,
+            )
+        else:
+            lion = optax.lion(
+                learning_rate=schedule,
+                b1=0.9,
+                b2=0.99,
+                weight_decay=1e-2 * adam_to_lion_scale_factor,
+                mask=decay_mask,
+            )
+        tx = optax.chain(optax.clip_by_global_norm(1), lion)
+        return train_state.TrainState.create(apply_fn=apply_fn, params=params, tx=tx)
+
+    with jax.default_device(jax.devices("cpu")[0]):
+        if train_unet:
+            unet_state = _build(
+                models["unet"]["unet_model"],
+                models["unet"]["unet_params"],
+                models["unet"]["unet_model"].apply,
+                u_net_learning_rate,
+                quantize_unet_state,
+            )
+        if train_text_encoder:
+            text_encoder_state = _build(
+                models["text_encoder"]["text_encoder_model"],
+                models["text_encoder"]["text_encoder_params"],
+                models["text_encoder"]["text_encoder_model"].__call__,
+                text_encoder_learning_rate,
+                quantize_text_encoder_state,
+            )
+
+    return {"unet_state": unet_state, "text_encoder_state": text_encoder_state}
+
+
+def _state_sharding(tree, mesh: Mesh, fsdp: bool):
+    """Replicated (reference layout) or FSDP-sharded placement for a state."""
+    if not fsdp:
+        return jax.tree_util.tree_map(
+            lambda _: NamedSharding(mesh, PartitionSpec()), tree
+        )
+    return params_fsdp_sharding(tree, mesh)
+
+
+def on_device_model_training_state(
+    training_config: TrainingConfig, mesh: Optional[Mesh] = None
+):
+    """Compose load + optimizer build + device placement.
+
+    Returns the reference 7-tuple (``training_utils.py:493-501``). Reproduces
+    the reference's non-forwarding of LRs/scale-factor (hardcoded 7, default
+    1e-6 LRs) for bit-for-bit fidelity — SURVEY.md §2.2.
+    """
+    mesh = mesh or mesh_lib.get_default_mesh()
+    models = load_models(training_config=training_config)
+    trained_model_states = create_lion_optimizer_states(
+        models=models,
+        train_text_encoder=training_config.train_text_encoder,
+        train_unet=training_config.train_unet,
+        adam_to_lion_scale_factor=7,
+        excluded_layer_pattern_from_weight_decay=(
+            training_config.excluded_layer_pattern_from_weight_decay
+        ),
+        excluded_layer_from_quantization=(
+            training_config.excluded_layer_from_quantization
+        ),
+        lion_8bit_block_size=training_config.quant_block_size,
+        quantize_unet_state=training_config.quantize_unet_state,
+        quantize_text_encoder_state=training_config.quantize_text_encoder_state,
+    )
+    frozen_states = create_frozen_states(models=models)
+
+    fsdp = training_config.fsdp_shard_params
+
+    def _put(tree, fsdp_this: bool = False):
+        if tree is None:
+            return None
+        shardings = _state_sharding(tree, mesh, fsdp_this)
+        return jax.tree_util.tree_map(
+            lambda leaf, s: jax.device_put(leaf, device=s), tree, shardings
+        )
+
+    unet_state = _put(trained_model_states["unet_state"], fsdp)
+    text_encoder_state = _put(trained_model_states["text_encoder_state"], fsdp)
+    frozen_vae = _put(frozen_states["vae_state"])
+    frozen_schedulers = _put(frozen_states["schedulers_state"])
+
+    def _put_copy(tree, fsdp_this: bool = False):
+        # EMA buffers must be distinct buffers from the TrainState params —
+        # device_put of the same host array aliases, and the train step
+        # donates both (same-buffer double donation is an XLA error)
+        placed = _put(tree, fsdp_this)
+        return jax.tree_util.tree_map(lambda x: x.copy(), placed)
+
+    unet_ema_params = (
+        _put_copy(models["unet"]["unet_params"], fsdp)
+        if training_config.accumulate_unet_ema
+        else None
+    )
+    text_encoder_ema_params = (
+        _put_copy(models["text_encoder"]["text_encoder_params"], fsdp)
+        if training_config.accumulate_text_encoder_ema
+        else None
+    )
+
+    model_object_dict = {
+        "unet": models["unet"]["unet_model"],
+        "vae": models["vae"]["vae_model"],
+        "text_encoder": models["text_encoder"]["text_encoder_model"],
+        "schedulers": models["schedulers"]["noise_scheduler_object"],
+        "tokenizer": models["tokenizer"],
+    }
+
+    return (
+        unet_state,
+        text_encoder_state,
+        unet_ema_params,
+        text_encoder_ema_params,
+        frozen_vae,
+        frozen_schedulers,
+        model_object_dict,
+    )

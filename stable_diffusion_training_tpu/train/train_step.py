@@ -1,0 +1,232 @@
+"""The fused train step: VAE encode -> noise -> text encode -> UNet -> loss ->
+grad -> Lion update -> EMA, traced into ONE XLA program.
+
+Behavior parity with ``/root/reference/training_utils.py:504-762`` — the same
+signature groups (donated states, batch+rng, unhashable-static frozen states,
+hashable statics), the same rng split tree
+(``dropout, sample, next = split(rng,3)`` then
+``offset, noise, perturb, timestep = split(sample,4)`` — including the
+reference's reuse of ``sample_rng`` both for the VAE sample and as the split
+source), offset/perturbation noise, uniform per-sample timesteps, BOS/EOS
+window stripping, epsilon/v targets, min-SNR-gamma rescale, and post-update
+EMA.
+
+TPU-first difference: the whole step runs NHWC (one transpose of the incoming
+NCHW pixel batch). To stay bit-for-bit with the reference, every
+``jax.random`` draw uses the reference's NCHW shapes and is transposed — the
+values at each logical element are then identical, only the layout differs,
+and the final scalar loss matches exactly.
+"""
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def compute_snrs(alphas_cumprod: jnp.ndarray) -> jnp.ndarray:
+    return alphas_cumprod / (1 - alphas_cumprod)
+
+
+def _unwrap(model_pred):
+    return model_pred.sample if hasattr(model_pred, "sample") else model_pred
+
+
+def train_step(
+    # donated args
+    unet_state: Any,
+    text_encoder_state: Any,
+    unet_ema_params: Optional[dict],
+    text_encoder_ema_params: Optional[dict],
+    # variable args
+    batch: dict,
+    train_rng: jax.Array,
+    # unhashable static args (FrozenModel pytrees)
+    frozen_vae_state: Any,
+    frozen_noise_scheduler_state: Any,
+    # hashable static args
+    strip_bos_eos_token: bool = True,
+    offset_noise_magnitude: float = 0.0,
+    min_snr_gamma_magnitude: float = 0.0,
+    perturbation_noise_magnitude: float = 0.0,
+    ema_rate: float = 0.0,
+    text_context_window: int = 77,
+):
+    """One optimization step. Returns
+    ``(unet_state, text_encoder_state, unet_ema, text_ema, {"loss"}, next_rng)``
+    in donation-compatible order (reference ``training_utils.py:749-762``)."""
+    dropout_rng, sample_rng, new_train_rng = jax.random.split(train_rng, num=3)
+
+    scheduler = frozen_noise_scheduler_state.call
+    scheduler_state = frozen_noise_scheduler_state.params
+
+    def compute_model_ema(ema_params, update_params):
+        return jax.tree_util.tree_map(
+            lambda leaf_ema, leaf_model: ema_rate * leaf_ema
+            + (1 - ema_rate) * leaf_model,
+            ema_params,
+            update_params,
+        )
+
+    def min_snr_gamma_loss_rescale(loss, timesteps, gamma):
+        """Attenuate late-timestep loss: weight = min(snr, gamma)/snr
+        (epsilon) or min(snr, gamma)/(snr+1) (v-prediction)."""
+        snrs = compute_snrs(scheduler_state.common.alphas_cumprod)
+        snr = snrs[timesteps]
+        min_snr_gamma = jnp.minimum(snr, gamma)
+        if scheduler.config.prediction_type == "v_prediction":
+            snr_weight = jnp.divide(min_snr_gamma, snr + 1).astype(jnp.float32)
+        else:
+            snr_weight = jnp.divide(min_snr_gamma, snr).astype(jnp.float32)
+        return loss * snr_weight[:, None, None, None]
+
+    def compute_loss(
+        unet_params, text_encoder_params, vae_params, noise_scheduler_state, batch
+    ):
+        # NCHW loader batch -> NHWC compute layout (single transpose)
+        pixels_nhwc = jnp.transpose(batch["pixel_values"], (0, 2, 3, 1))
+        vae_outputs = frozen_vae_state.call.apply(
+            {"params": vae_params},
+            pixels_nhwc,
+            deterministic=True,
+            method="encode",
+        )
+        # NHWC latent sample — same rng/shape as the reference's pre-transpose
+        # sample (training_utils.py:582), so values match bit-for-bit
+        latents = vae_outputs.latent_dist.sample(sample_rng)
+        latents = latents * 0.18215
+
+        b, lh, lw, lc = latents.shape
+        nchw = (b, lc, lh, lw)
+
+        # reference splits the already-used sample_rng again (quirk, kept)
+        noise_offset_rng, noise_rng, perturb_noise_rng, timestep_rng = (
+            jax.random.split(key=sample_rng, num=4)
+        )
+        # draw in NCHW (reference shape) then transpose so values align
+        noise = jnp.transpose(
+            jax.random.normal(key=noise_rng, shape=nchw), (0, 2, 3, 1)
+        )
+        if offset_noise_magnitude:
+            # per-channel mean offset (crosslabs offset-noise)
+            noise_offset = (
+                jax.random.normal(key=noise_offset_rng, shape=(b, lc, 1, 1))
+                * offset_noise_magnitude
+            )
+            noise = noise + jnp.transpose(noise_offset, (0, 2, 3, 1))
+        if perturbation_noise_magnitude:
+            noise = noise + perturbation_noise_magnitude * jnp.transpose(
+                jax.random.normal(perturb_noise_rng, nchw), (0, 2, 3, 1)
+            )
+
+        timesteps = jax.random.randint(
+            key=timestep_rng,
+            shape=(b,),
+            minval=0,
+            maxval=scheduler.config.num_train_timesteps,
+        )
+
+        noisy_latents = scheduler.add_noise(
+            state=noise_scheduler_state,
+            original_samples=latents,
+            noise=noise,
+            timesteps=timesteps,
+        )
+
+        encoder_hidden_states = text_encoder_state.apply_fn(
+            params=text_encoder_params,
+            input_ids=batch["input_ids"],
+            dropout_rng=dropout_rng,
+            train=True,
+        )[0]
+        # (batch*concat, win, dim) -> (batch, concat, win, dim)
+        encoder_hidden_states = jnp.reshape(
+            encoder_hidden_states,
+            (b, -1, text_context_window, encoder_hidden_states.shape[-1]),
+        )
+
+        if strip_bos_eos_token:
+            # window0 minus EOS + middle windows minus both + last minus BOS
+            encoder_hidden_states = jnp.concatenate(
+                [
+                    encoder_hidden_states[:, 0, :-1, :],
+                    jnp.reshape(
+                        encoder_hidden_states[:, 1:-1, 1:-1, :],
+                        (b, -1, encoder_hidden_states.shape[-1]),
+                    ),
+                    encoder_hidden_states[:, -1, 1:, :],
+                ],
+                axis=1,
+            )
+        else:
+            encoder_hidden_states = jnp.reshape(
+                encoder_hidden_states,
+                (b, -1, encoder_hidden_states.shape[-1]),
+            )
+
+        model_pred = _unwrap(
+            unet_state.apply_fn(
+                {"params": unet_params},
+                noisy_latents,
+                timesteps,
+                encoder_hidden_states,
+                train=True,
+                rngs={"dropout": dropout_rng},
+            )
+        )
+
+        if scheduler.config.prediction_type == "epsilon":
+            target = noise
+        elif scheduler.config.prediction_type == "v_prediction":
+            target = scheduler.get_velocity(
+                state=noise_scheduler_state,
+                sample=latents,
+                noise=noise,
+                timesteps=timesteps,
+            )
+        else:
+            raise ValueError(
+                f"Unknown prediction type {scheduler.config.prediction_type}"
+            )
+
+        loss = (target - model_pred) ** 2
+        if min_snr_gamma_magnitude:
+            loss = min_snr_gamma_loss_rescale(
+                loss, timesteps, min_snr_gamma_magnitude
+            )
+        return loss.mean()
+
+    grad_fn = jax.value_and_grad(fun=compute_loss, argnums=[0, 1])
+    loss, grad = grad_fn(
+        unet_state.params,
+        text_encoder_state.params,
+        frozen_vae_state.params,
+        frozen_noise_scheduler_state.params,
+        batch,
+    )
+
+    new_unet_state = unet_state.apply_gradients(grads=grad[0])
+    new_text_encoder_state = text_encoder_state.apply_gradients(grads=grad[1])
+
+    if ema_rate and unet_ema_params is not None:
+        new_unet_ema_params = compute_model_ema(
+            unet_ema_params, new_unet_state.params
+        )
+    else:
+        new_unet_ema_params = None
+    if ema_rate and text_encoder_ema_params is not None:
+        new_text_encoder_ema_params = compute_model_ema(
+            text_encoder_ema_params, new_text_encoder_state.params
+        )
+    else:
+        new_text_encoder_ema_params = None
+
+    metrics = {"loss": loss}
+    return (
+        new_unet_state,
+        new_text_encoder_state,
+        new_unet_ema_params,
+        new_text_encoder_ema_params,
+        metrics,
+        new_train_rng,
+    )

@@ -1,10 +1,15 @@
 """Test env: force CPU backend with 8 virtual devices so mesh/sharding code
 runs without TPU hardware (the TPU-native analogue of a fake backend;
-SURVEY.md §4)."""
+SURVEY.md §4).
+
+Note: the host image's sitecustomize registers a remote-TPU PJRT plugin and
+force-selects it through ``jax.config`` (env vars alone don't help, and its
+backend init blocks for minutes on a pool claim). ``jax.config.update`` after
+import is the reliable way to pin tests to CPU.
+"""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -12,6 +17,8 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 import jax  # noqa: E402  (import after env setup)
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 

@@ -1,0 +1,222 @@
+"""Model zoo tests: shapes, finiteness, gradient checkpointing equivalence,
+config round-trips, and CLIP numerics parity vs PyTorch transformers."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stable_diffusion_training_tpu.models import (
+    AutoencoderKL,
+    CLIPTextModel,
+    UNet2DConditionModel,
+    configs,
+)
+
+
+@pytest.fixture(scope="module")
+def rng():
+    return jax.random.PRNGKey(0)
+
+
+@pytest.fixture(scope="module")
+def tiny_unet(rng):
+    unet = UNet2DConditionModel(**configs.TINY_UNET)
+    params = unet.init(rng, batch_size=2, height=8, width=8)
+    return unet, params
+
+
+class TestUNet:
+    def test_forward_shape_nchw(self, tiny_unet):
+        unet, params = tiny_unet
+        sample = jnp.ones((2, 4, 8, 8))
+        ctx = jnp.ones((2, 77, 32))
+        out = unet.apply(params, sample, jnp.array([1, 2]), ctx)
+        assert out.shape == (2, 4, 8, 8)
+        assert bool(jnp.isfinite(out).all())
+
+    def test_nhwc_matches_nchw(self, tiny_unet, rng):
+        _, params = tiny_unet
+        unet_nhwc = UNet2DConditionModel(**configs.TINY_UNET, data_format="NHWC")
+        unet_nchw = UNet2DConditionModel(**configs.TINY_UNET)
+        sample = jax.random.normal(rng, (2, 4, 8, 8))
+        ctx = jax.random.normal(rng, (2, 77, 32))
+        t = jnp.array([3, 7])
+        out_nchw = unet_nchw.apply(params, sample, t, ctx)
+        out_nhwc = unet_nhwc.apply(
+            params, jnp.transpose(sample, (0, 2, 3, 1)), t, ctx
+        )
+        np.testing.assert_allclose(
+            out_nchw, jnp.transpose(out_nhwc, (0, 3, 1, 2)), atol=1e-5
+        )
+
+    def test_gradient_checkpointing_same_output(self, tiny_unet, rng):
+        _, params = tiny_unet
+        unet_gc = UNet2DConditionModel(
+            **configs.TINY_UNET, gradient_checkpointing=True
+        )
+        unet = UNet2DConditionModel(**configs.TINY_UNET)
+        sample = jax.random.normal(rng, (2, 4, 8, 8))
+        ctx = jax.random.normal(rng, (2, 77, 32))
+        t = jnp.array([1, 2])
+        np.testing.assert_allclose(
+            unet.apply(params, sample, t, ctx),
+            unet_gc.apply(params, sample, t, ctx),
+            atol=1e-5,
+        )
+
+    def test_gradient_checkpointing_same_grads(self, tiny_unet, rng):
+        _, params = tiny_unet
+        sample = jax.random.normal(rng, (1, 4, 8, 8))
+        ctx = jax.random.normal(rng, (1, 77, 32))
+        t = jnp.array([5])
+
+        def loss_fn(p, gc):
+            unet = UNet2DConditionModel(
+                **configs.TINY_UNET, gradient_checkpointing=gc
+            )
+            return (unet.apply(p, sample, t, ctx) ** 2).mean()
+
+        g_plain = jax.grad(lambda p: loss_fn(p, False))(params)
+        g_remat = jax.grad(lambda p: loss_fn(p, True))(params)
+        for a, b in zip(jax.tree.leaves(g_plain), jax.tree.leaves(g_remat)):
+            np.testing.assert_allclose(a, b, atol=1e-5)
+
+    def test_rectangular_input(self, tiny_unet):
+        unet, params = tiny_unet
+        sample = jnp.ones((1, 4, 8, 16))
+        ctx = jnp.ones((1, 77, 32))
+        out = unet.apply(params, sample, jnp.array([0]), ctx)
+        assert out.shape == (1, 4, 8, 16)
+
+    def test_config_roundtrip(self, tmp_path):
+        unet = UNet2DConditionModel(**configs.TINY_UNET)
+        unet.save_config(str(tmp_path))
+        cfg = UNet2DConditionModel.load_config(str(tmp_path))
+        unet2 = UNet2DConditionModel.from_config(cfg)
+        assert unet2.config.block_out_channels == list(
+            configs.TINY_UNET["block_out_channels"]
+        ) or tuple(unet2.config.block_out_channels) == tuple(
+            configs.TINY_UNET["block_out_channels"]
+        )
+        assert unet2.config.cross_attention_dim == 32
+
+    def test_sdxl_added_cond(self, rng):
+        cfg = dict(configs.TINY_UNET)
+        cfg.update(
+            down_block_types=("DownBlock2D", "CrossAttnDownBlock2D"),
+            up_block_types=("CrossAttnUpBlock2D", "UpBlock2D"),
+            addition_embed_type="text_time",
+            addition_time_embed_dim=8,
+            projection_class_embeddings_input_dim=8 * 6 + 16,
+        )
+        unet = UNet2DConditionModel(**cfg)
+        params = unet.init(rng, batch_size=1, height=8, width=8)
+        added = {
+            "text_embeds": jnp.ones((1, 16)),
+            "time_ids": jnp.ones((1, 6)),
+        }
+        out = unet.apply(
+            params,
+            jnp.ones((1, 4, 8, 8)),
+            jnp.array([1]),
+            jnp.ones((1, 77, 32)),
+            added_cond_kwargs=added,
+        )
+        assert out.shape == (1, 4, 8, 8)
+
+
+class TestVAE:
+    @pytest.fixture(scope="class")
+    def vae(self, rng):
+        vae = AutoencoderKL(**configs.TINY_VAE)
+        return vae, vae.init(rng)
+
+    def test_encode_decode_shapes(self, vae, rng):
+        model, params = vae
+        img = jax.random.uniform(rng, (2, 3, 32, 32), minval=-1, maxval=1)
+        enc = model.encode(img, params)
+        latents = enc.latent_dist.sample(rng)
+        assert latents.shape == (2, 4, 16, 16)  # 2 blocks -> /2
+        dec = model.decode(latents, params)
+        assert dec.sample.shape == (2, 3, 32, 32)
+
+    def test_latent_dist_stats(self, vae, rng):
+        model, params = vae
+        img = jnp.zeros((1, 3, 32, 32))
+        dist = model.encode(img, params).latent_dist
+        assert bool(jnp.isfinite(dist.mean).all())
+        assert bool((dist.std > 0).all())
+        assert dist.mode().shape == dist.mean.shape
+        assert bool(jnp.isfinite(dist.kl()).all())
+
+    def test_reference_call_shape(self, vae, rng):
+        """The exact FrozenModel call used by the train step
+        (reference training_utils.py:574-579)."""
+        model, params = vae
+        out = model.apply(
+            {"params": params},
+            jnp.zeros((1, 3, 32, 32)),
+            deterministic=True,
+            method="encode",
+        )
+        assert out.latent_dist.mean.shape == (1, 4, 16, 16)
+
+
+class TestCLIP:
+    def test_forward(self, rng):
+        te = CLIPTextModel(**configs.TINY_CLIP)
+        params = te.init(rng)
+        ids = jax.random.randint(rng, (2, 77), 0, 1000)
+        out = te(ids, params=params)
+        assert out[0].shape == (2, 77, 32)
+        assert bool(jnp.isfinite(out[0]).all())
+
+    def test_causality(self, rng):
+        """Changing a later token must not affect earlier positions."""
+        te = CLIPTextModel(**configs.TINY_CLIP)
+        params = te.init(rng)
+        ids = jax.random.randint(rng, (1, 77), 0, 1000)
+        ids2 = ids.at[0, 50].set((ids[0, 50] + 1) % 1000)
+        h1 = te(ids, params=params)[0]
+        h2 = te(ids2, params=params)[0]
+        np.testing.assert_allclose(h1[0, :50], h2[0, :50], atol=1e-5)
+        assert not np.allclose(h1[0, 50:], h2[0, 50:], atol=1e-5)
+
+    def test_parity_vs_torch_transformers(self, rng):
+        """Golden parity: our CLIP tower == transformers' PyTorch
+        CLIPTextModel on converted weights (fp32, random init)."""
+        torch = pytest.importorskip("torch")
+        from transformers import CLIPTextConfig as HFConfig
+        from transformers import CLIPTextModel as HFModel
+
+        from stable_diffusion_training_tpu.models.hf_io import (
+            torch_state_dict_to_flax,
+        )
+
+        hf_cfg = HFConfig(
+            vocab_size=1000,
+            hidden_size=32,
+            intermediate_size=64,
+            num_hidden_layers=2,
+            num_attention_heads=4,
+            max_position_embeddings=77,
+            hidden_act="quick_gelu",
+        )
+        torch.manual_seed(0)
+        hf_model = HFModel(hf_cfg).eval()
+        sd = {k: v.numpy() for k, v in hf_model.state_dict().items()}
+        sd = {
+            k.replace("text_model.", "")
+            .replace("embeddings.", "")
+            .replace("encoder.layers", "layers"): v
+            for k, v in sd.items()
+        }
+        params = torch_state_dict_to_flax(sd)
+
+        te = CLIPTextModel(**configs.TINY_CLIP)
+        ids_np = np.random.RandomState(0).randint(0, 1000, size=(2, 77))
+        ours = te(jnp.asarray(ids_np), params=params)[0]
+        with torch.no_grad():
+            theirs = hf_model(torch.tensor(ids_np)).last_hidden_state.numpy()
+        np.testing.assert_allclose(np.asarray(ours), theirs, atol=2e-5)
