@@ -244,7 +244,24 @@ def load_unet_params(directory: str, dtype=None) -> Dict[str, Any]:
 
 
 def load_vae_params(directory: str, dtype=None) -> Dict[str, Any]:
-    return torch_state_dict_to_flax(load_torch_weights(directory), dtype=dtype)
+    """Newer diffusers renamed the VAE mid-block attention projections
+    (to_q/to_k/to_v/to_out.0); alias them back to the 0.21.4-era names this
+    model uses (query/key/value/proj_attn)."""
+    sd = load_torch_weights(directory)
+    renames = {
+        ".to_q.": ".query.",
+        ".to_k.": ".key.",
+        ".to_v.": ".value.",
+        ".to_out.0.": ".proj_attn.",
+    }
+
+    def _rekey(key: str) -> str:
+        if ".attentions." in key:
+            for old, new in renames.items():
+                key = key.replace(old, new)
+        return key
+
+    return torch_state_dict_to_flax({_rekey(k): v for k, v in sd.items()}, dtype=dtype)
 
 
 def load_text_encoder_params(directory: str, dtype=None) -> Dict[str, Any]:

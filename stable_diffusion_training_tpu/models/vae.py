@@ -5,7 +5,9 @@ Replaces the reference's HF ``FlaxAutoencoderKL`` import
 ``encode`` + ``DiagonalGaussianDistribution.sample``
 (``/root/reference/training_utils.py:574-586``); decode exists for the
 inference pipeline. Mid-block attention uses the shared ``ops.attention``
-primitive (single head over spatial tokens).
+primitive (single head over spatial tokens). Module nesting mirrors the
+diffusers torch key structure (``encoder.down_blocks.0.resnets.0...``) so
+checkpoints convert 1:1 in both directions (``hf_io``).
 """
 
 from typing import Tuple
@@ -88,6 +90,86 @@ class VaeAttentionBlock(nn.Module):
         return out.reshape(b, h, w, c) + residual
 
 
+class DownEncoderBlock2D(nn.Module):
+    out_channels: int
+    num_layers: int
+    add_downsample: bool
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, sample, deterministic: bool = True):
+        for j in range(self.num_layers):
+            sample = ResnetBlock2D(
+                out_channels=self.out_channels,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name=f"resnets_{j}",
+            )(sample, deterministic=deterministic)
+        if self.add_downsample:
+            sample = Downsample2D(
+                self.out_channels,
+                asymmetric_padding=True,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name="downsamplers_0",
+            )(sample)
+        return sample
+
+
+class UpDecoderBlock2D(nn.Module):
+    out_channels: int
+    num_layers: int
+    add_upsample: bool
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, sample, deterministic: bool = True):
+        for j in range(self.num_layers):
+            sample = ResnetBlock2D(
+                out_channels=self.out_channels,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name=f"resnets_{j}",
+            )(sample, deterministic=deterministic)
+        if self.add_upsample:
+            sample = Upsample2D(
+                self.out_channels,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name="upsamplers_0",
+            )(sample)
+        return sample
+
+
+class VaeMidBlock(nn.Module):
+    channels: int
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, sample, deterministic: bool = True):
+        sample = ResnetBlock2D(
+            out_channels=self.channels,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="resnets_0",
+        )(sample, deterministic=deterministic)
+        sample = VaeAttentionBlock(
+            self.channels,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="attentions_0",
+        )(sample)
+        return ResnetBlock2D(
+            out_channels=self.channels,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="resnets_1",
+        )(sample, deterministic=deterministic)
+
+
 class Encoder(nn.Module):
     block_out_channels: Tuple[int, ...]
     layers_per_block: int
@@ -106,44 +188,21 @@ class Encoder(nn.Module):
             name="conv_in",
         )(sample)
 
-        # down blocks
         for i, out_ch in enumerate(self.block_out_channels):
-            is_last = i == len(self.block_out_channels) - 1
-            for j in range(self.layers_per_block):
-                sample = ResnetBlock2D(
-                    out_channels=out_ch,
-                    dtype=self.dtype,
-                    param_dtype=self.param_dtype,
-                    name=f"down_blocks_{i}_resnets_{j}",
-                )(sample, deterministic=deterministic)
-            if not is_last:
-                sample = Downsample2D(
-                    out_ch,
-                    asymmetric_padding=True,
-                    dtype=self.dtype,
-                    param_dtype=self.param_dtype,
-                    name=f"down_blocks_{i}_downsamplers_0",
-                )(sample)
+            sample = DownEncoderBlock2D(
+                out_channels=out_ch,
+                num_layers=self.layers_per_block,
+                add_downsample=i < len(self.block_out_channels) - 1,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name=f"down_blocks_{i}",
+            )(sample, deterministic=deterministic)
 
-        # mid
-        mid_ch = self.block_out_channels[-1]
-        sample = ResnetBlock2D(
-            out_channels=mid_ch,
+        sample = VaeMidBlock(
+            self.block_out_channels[-1],
             dtype=self.dtype,
             param_dtype=self.param_dtype,
-            name="mid_block_resnets_0",
-        )(sample, deterministic=deterministic)
-        sample = VaeAttentionBlock(
-            mid_ch,
-            dtype=self.dtype,
-            param_dtype=self.param_dtype,
-            name="mid_block_attentions_0",
-        )(sample)
-        sample = ResnetBlock2D(
-            out_channels=mid_ch,
-            dtype=self.dtype,
-            param_dtype=self.param_dtype,
-            name="mid_block_resnets_1",
+            name="mid_block",
         )(sample, deterministic=deterministic)
 
         sample = nn.GroupNorm(
@@ -183,44 +242,24 @@ class Decoder(nn.Module):
             name="conv_in",
         )(latents)
 
-        # mid
-        sample = ResnetBlock2D(
-            out_channels=mid_ch,
-            dtype=self.dtype,
-            param_dtype=self.param_dtype,
-            name="mid_block_resnets_0",
-        )(sample, deterministic=deterministic)
-        sample = VaeAttentionBlock(
+        sample = VaeMidBlock(
             mid_ch,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
-            name="mid_block_attentions_0",
-        )(sample)
-        sample = ResnetBlock2D(
-            out_channels=mid_ch,
-            dtype=self.dtype,
-            param_dtype=self.param_dtype,
-            name="mid_block_resnets_1",
+            name="mid_block",
         )(sample, deterministic=deterministic)
 
         # up blocks walk the channel list reversed; layers_per_block + 1 resnets
         reversed_channels = tuple(reversed(self.block_out_channels))
         for i, out_ch in enumerate(reversed_channels):
-            is_last = i == len(reversed_channels) - 1
-            for j in range(self.layers_per_block + 1):
-                sample = ResnetBlock2D(
-                    out_channels=out_ch,
-                    dtype=self.dtype,
-                    param_dtype=self.param_dtype,
-                    name=f"up_blocks_{i}_resnets_{j}",
-                )(sample, deterministic=deterministic)
-            if not is_last:
-                sample = Upsample2D(
-                    out_ch,
-                    dtype=self.dtype,
-                    param_dtype=self.param_dtype,
-                    name=f"up_blocks_{i}_upsamplers_0",
-                )(sample)
+            sample = UpDecoderBlock2D(
+                out_channels=out_ch,
+                num_layers=self.layers_per_block + 1,
+                add_upsample=i < len(reversed_channels) - 1,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name=f"up_blocks_{i}",
+            )(sample, deterministic=deterministic)
 
         sample = nn.GroupNorm(
             num_groups=32,
@@ -278,13 +317,10 @@ class VaeCore(nn.Module):
         )
 
     def encode(self, sample, deterministic: bool = True):
-        moments = self.quant_conv(self.encoder(sample, deterministic=deterministic))
-        return moments
+        return self.quant_conv(self.encoder(sample, deterministic=deterministic))
 
     def decode(self, latents, deterministic: bool = True):
-        return self.decoder(
-            self.post_quant_conv(latents), deterministic=deterministic
-        )
+        return self.decoder(self.post_quant_conv(latents), deterministic=deterministic)
 
     def __call__(self, sample, rng, deterministic: bool = True):
         moments = self.encode(sample, deterministic=deterministic)
@@ -331,9 +367,9 @@ class AutoencoderKL(ConfigurableMixin):
 
     def init(self, rng, batch_size: int = 1, resolution: int = 32):
         sample = jnp.zeros((batch_size, resolution, resolution, 3), self.dtype)
-        return self.module.init(
-            {"params": rng}, sample, jax.random.PRNGKey(0)
-        )["params"]
+        return self.module.init({"params": rng}, sample, jax.random.PRNGKey(0))[
+            "params"
+        ]
 
     def _to_nhwc(self, x):
         return jnp.transpose(x, (0, 2, 3, 1)) if self.data_format == "NCHW" else x
@@ -365,13 +401,14 @@ class AutoencoderKL(ConfigurableMixin):
         )
         return _DecodeOutput(self._from_nhwc(sample))
 
-    # FrozenModel compatibility: vae.apply({"params": p}, x, method=vae.encode)
-    # is the exact reference call shape (training_utils.py:574-577)
-    def apply(self, variables, *args, method=None, **kwargs):
-        if method is None or method == "encode":
-            return self.encode(args[0], variables, **kwargs)
-        if method == "decode":
-            return self.decode(args[0], variables, **kwargs)
+    # FrozenModel compatibility: vae.apply({"params": p}, sample=x,
+    # method=...) is the exact reference call shape (training_utils.py:574-579)
+    def apply(self, variables, sample=None, *, method=None, deterministic=True, **kw):
+        name = getattr(method, "__name__", method) or "encode"
+        if name == "encode":
+            return self.encode(sample, variables, deterministic=deterministic)
+        if name == "decode":
+            return self.decode(sample, variables, deterministic=deterministic)
         raise ValueError(f"unknown method {method!r}")
 
     def _diffusers_class_name(self) -> str:

@@ -78,7 +78,13 @@ def attention(
     ``"flash"``, or ``"xla"``.
     """
     if backend == "auto":
-        backend = "flash" if _flash_available() else "xla"
+        # flash wins when the logits matrix is large (self-attention over
+        # spatial tokens); for short key sequences (77/227-token text
+        # cross-attention) the fused XLA path is at parity and fuses better
+        # with its neighbors (measured on v5e: 4096 tokens 4.9ms flash vs
+        # 5.8ms xla; 16k tokens flash-only — xla OOMs)
+        use_flash = _flash_available() and key.shape[1] >= 1024
+        backend = "flash" if use_flash else "xla"
     if backend == "flash":
         from .flash_attention import flash_attention, flash_supported
 

@@ -8,10 +8,11 @@ O(S) memory instead of the O(S^2) logits the patched reference materializes,
 with fp32 accumulation and MXU-shaped (128-aligned) tiles.
 
 Layout contract: q (B, Sq, H, D), k/v (B, Sk, H, D) — the models' native
-layout. Internally heads fold into the grid's leading dim. Sequence lengths
-are padded to the block size; padded key columns are masked to -inf, padded
-query rows are sliced off. Tested in interpret mode on CPU against the jnp
-reference (tests/test_flash_attention.py); compiled path requires TPU.
+layout. Internally heads fold into the grid's leading dim; per-row softmax
+stats (logsumexp) live in (BH, S, 1) so every block shape is TPU-tileable.
+Sequence lengths are padded to the block size; padded key columns are masked
+to -inf, padded query rows are sliced off. Tested in interpret mode on CPU
+against the jnp reference (tests/test_flash_attention.py) and compiled on TPU.
 """
 
 import functools
@@ -91,7 +92,7 @@ def _fwd_kernel(
         l = l_ref[:, :1]
         safe_l = jnp.where(l == 0.0, 1.0, l)
         o_ref[0] = (acc_ref[:] / safe_l).astype(o_ref.dtype)
-        lse_ref[0] = (m_ref[:, 0] + jnp.log(safe_l[:, 0])).astype(lse_ref.dtype)
+        lse_ref[0] = (m_ref[:, :1] + jnp.log(safe_l)).astype(lse_ref.dtype)
 
 
 # --- backward kernels -----------------------------------------------------------
@@ -111,8 +112,8 @@ def _bwd_dq_kernel(
     k = k_ref[0]
     v = v_ref[0]
     do = do_ref[0]
-    lse = lse_ref[0]  # (bq,)
-    delta = delta_ref[0]  # (bq,)
+    lse = lse_ref[0]  # (bq, 1)
+    delta = delta_ref[0]  # (bq, 1)
     bq, bk = q.shape[0], k.shape[0]
 
     s = (
@@ -123,12 +124,12 @@ def _bwd_dq_kernel(
     )
     col = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
     s = jnp.where(col < kv_len - ik * bk, s, _NEG_INF)
-    p = jnp.exp(s - lse[:, None])  # (bq, bk)
+    p = jnp.exp(s - lse)  # (bq, bk)
 
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    ds = p * (dp - delta[:, None])  # (bq, bk) f32
+    ds = p * (dp - delta)  # (bq, bk) f32
     dq_acc[:] += scale * jax.lax.dot_general(
         ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -156,8 +157,8 @@ def _bwd_dkv_kernel(
     k = k_ref[0]
     v = v_ref[0]
     do = do_ref[0]
-    lse = lse_ref[0]
-    delta = delta_ref[0]
+    lse = lse_ref[0]  # (bq, 1)
+    delta = delta_ref[0]  # (bq, 1)
     bq, bk = q.shape[0], k.shape[0]
 
     s = (
@@ -168,7 +169,7 @@ def _bwd_dkv_kernel(
     )
     col = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
     s = jnp.where(col < kv_len - ik * bk, s, _NEG_INF)
-    p = jnp.exp(s - lse[:, None])  # (bq, bk)
+    p = jnp.exp(s - lse)  # (bq, bk)
 
     # dv += p^T @ do
     dv_acc[:] += jax.lax.dot_general(
@@ -178,7 +179,7 @@ def _bwd_dkv_kernel(
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    ds = p * (dp - delta[:, None])
+    ds = p * (dp - delta)
     # dk += scale * ds^T @ q
     dk_acc[:] += scale * jax.lax.dot_general(
         ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
@@ -198,7 +199,7 @@ def _pad_seq(x, block):
     s = x.shape[1]
     pad = _ceil_to(s, block) - s
     if pad:
-        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+        x = jnp.pad(x, ((0, 0), (0, pad)) + ((0, 0),) * (x.ndim - 2))
     return x
 
 
@@ -213,9 +214,7 @@ def _unfold_heads(x, b, h):
     return jnp.transpose(x.reshape(b, h, s, d), (0, 2, 1, 3))
 
 
-@functools.partial(
-    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6)
-)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def _flash(q3, k3, v3, scale, block_q, block_k, interpret):
     o, _ = _flash_fwd_impl(q3, k3, v3, scale, block_q, block_k, interpret)
     return o
@@ -241,11 +240,11 @@ def _flash_fwd_impl(q3, k3, v3, scale, block_q, block_k, interpret):
         ],
         out_specs=[
             pl.BlockSpec((1, block_q, d), lambda b, iq, ik: (b, iq, 0)),
-            pl.BlockSpec((1, block_q), lambda b, iq, ik: (b, iq)),
+            pl.BlockSpec((1, block_q, 1), lambda b, iq, ik: (b, iq, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bh, sqp, d), q3.dtype),
-            jax.ShapeDtypeStruct((bh, sqp), jnp.float32),
+            jax.ShapeDtypeStruct((bh, sqp, 1), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((block_q, d), jnp.float32),
@@ -263,7 +262,7 @@ def _flash_fwd(q3, k3, v3, scale, block_q, block_k, interpret):
 
 
 def _flash_bwd(scale, block_q, block_k, interpret, residuals, g):
-    q3, k3, v3, o, lse = residuals
+    q3, k3, v3, o, lse_p = residuals  # lse_p is already (BH, Sq_padded, 1)
     kv_len = k3.shape[1]
     sq = q3.shape[1]
 
@@ -275,12 +274,12 @@ def _flash_bwd(scale, block_q, block_k, interpret, residuals, g):
     gp = _pad_seq(g, block_q)
     bh, sqp, d = qp.shape
     skp = kp.shape[1]
-    pad_q = sqp - sq
-    lse_p = jnp.pad(lse, ((0, 0), (0, pad_q))) if pad_q else lse
-    delta_p = jnp.pad(delta, ((0, 0), (0, pad_q))) if pad_q else delta
+    delta_p = _pad_seq(delta[..., None], block_q)
 
     nq = sqp // block_q
     nk = skp // block_k
+
+    stat_spec_q = pl.BlockSpec((1, block_q, 1), lambda b, iq, ik: (b, iq, 0))
 
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, scale=scale, kv_len=kv_len),
@@ -290,8 +289,8 @@ def _flash_bwd(scale, block_q, block_k, interpret, residuals, g):
             pl.BlockSpec((1, block_k, d), lambda b, iq, ik: (b, ik, 0)),
             pl.BlockSpec((1, block_k, d), lambda b, iq, ik: (b, ik, 0)),
             pl.BlockSpec((1, block_q, d), lambda b, iq, ik: (b, iq, 0)),
-            pl.BlockSpec((1, block_q), lambda b, iq, ik: (b, iq)),
-            pl.BlockSpec((1, block_q), lambda b, iq, ik: (b, iq)),
+            stat_spec_q,
+            stat_spec_q,
         ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda b, iq, ik: (b, iq, 0)),
         out_shape=jax.ShapeDtypeStruct((bh, sqp, d), q3.dtype),
@@ -299,6 +298,7 @@ def _flash_bwd(scale, block_q, block_k, interpret, residuals, g):
         interpret=interpret,
     )(qp, kp, vp, gp, lse_p, delta_p)
 
+    stat_spec_kgrid = pl.BlockSpec((1, block_q, 1), lambda b, ik, iq: (b, iq, 0))
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, scale=scale, kv_len=kv_len),
         grid=(bh, nk, nq),
@@ -307,8 +307,8 @@ def _flash_bwd(scale, block_q, block_k, interpret, residuals, g):
             pl.BlockSpec((1, block_k, d), lambda b, ik, iq: (b, ik, 0)),
             pl.BlockSpec((1, block_k, d), lambda b, ik, iq: (b, ik, 0)),
             pl.BlockSpec((1, block_q, d), lambda b, ik, iq: (b, iq, 0)),
-            pl.BlockSpec((1, block_q), lambda b, ik, iq: (b, iq)),
-            pl.BlockSpec((1, block_q), lambda b, ik, iq: (b, iq)),
+            stat_spec_kgrid,
+            stat_spec_kgrid,
         ],
         out_specs=[
             pl.BlockSpec((1, block_k, d), lambda b, ik, iq: (b, ik, 0)),

@@ -1,0 +1,5 @@
+"""Inference: CFG text-to-image pipeline (jit/GSPMD, no pmap)."""
+
+from .stable_diffusion import FlaxStableDiffusionPipeline, StableDiffusionPipeline
+
+__all__ = ["StableDiffusionPipeline", "FlaxStableDiffusionPipeline"]

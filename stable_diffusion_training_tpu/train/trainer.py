@@ -1,0 +1,308 @@
+"""Chunked training orchestration — the ``python training.py`` driver.
+
+Behavior parity with ``/root/reference/training.py`` (SURVEY.md §2.1),
+including its exact quirks:
+
+- the JSON config is a mutable resume-state store: ``model_path``,
+  ``chunk_number``, ``chunk_steps``, ``master_seed`` are rewritten during the
+  run, with a ``backup_<name>.json`` taken at startup (L25-28, 301-315);
+- pre-flight save probe per chunk: a REAL ``save_model`` (+EMA variant) to
+  ``test_save_path``, hard ``sys.exit()`` on failure, probe deleted on
+  success (L150-184);
+- loss.csv with header ``steps, step_size, loss, time, chunk, seed`` and the
+  reference's logging semantics — ``train_metrics`` re-initializes INSIDE the
+  loop, so the "avg loss" each interval is the single current step's loss
+  (L212-258, documented in SURVEY.md §2.1);
+- checkpoints to ``{base}@{chunk_steps}`` (+``-EMA``) with rotation deleting
+  ``@{chunk_steps - keep_trained_model_buffer}`` (L260-299);
+- DEBUG mode: logging interval //10, loader capped at 100 batches (L111-138);
+- compiled-step dispatch keyed on ``batch["pixel_values"].shape`` (L221).
+
+Injection points for tests / alternative data sources: ``dataloader`` and
+``tokenizer`` can be passed in, bypassing the streamer-style loader build.
+"""
+
+import os
+import sys
+import time
+from typing import Any, Optional
+
+import jax
+from tqdm.auto import tqdm
+
+from ..utils.json_io import delete_file_or_folder, read_json_file, save_dict_to_json
+from .aot import dp_compile_all_unique_resolution
+from .checkpoint import save_model
+from .config import training_config_from_dict
+from .states import on_device_model_training_state
+
+
+def load_run_config(config_dict_path: str):
+    """Read + backup the JSON state file, assert bucket config, build the
+    typed subset (reference L25-40)."""
+    config_dict = read_json_file(config_dict_path)
+    directory, name = os.path.split(config_dict_path)
+    save_dict_to_json(config_dict, os.path.join(directory, f"backup_{name}"))
+    assert len(config_dict["image_area_root"]) == len(
+        config_dict["minimum_axis_length"]
+    ), (
+        "number of elements in image_area_root and minimum_axis_length is not "
+        "match! check your config files!"
+    )
+    return config_dict, training_config_from_dict(config_dict)
+
+
+def _build_dataloader(config_dict, config_dict_path, tokenizer):
+    from ..data import DataLoader
+
+    return DataLoader(
+        tokenizer_obj=tokenizer,
+        config=config_dict_path,
+        ramdisk_path=config_dict["ramdisk_path"],
+        training_batch_size=config_dict["batch_size"],
+        repeat_batch=config_dict["repeat_batch"],
+        maximum_resolution_areas=[x**2 for x in config_dict["image_area_root"]],
+        bucket_lower_bound_resolutions=config_dict["minimum_axis_length"],
+        numb_of_worker_thread=config_dict["numb_of_dataloader_worker_thread"],
+        queue_get_timeout=config_dict["queue_get_timeout"],
+        chunk_number=config_dict["chunk_number"],
+        seed=config_dict["master_seed"],
+        context_concatenation_multiplier=config_dict[
+            "context_window_concatenation_count"
+        ],
+    )
+
+
+def main(
+    config_dict_path: str = "model_properties.json",
+    dataloader: Optional[Any] = None,
+    tokenizer: Optional[Any] = None,
+    mesh=None,
+) -> None:
+    config_dict, training_config = load_run_config(config_dict_path)
+
+    if tokenizer is None:
+        tok_dir = os.path.join(config_dict["model_path"], "tokenizer")
+        if os.path.isdir(tok_dir):
+            from transformers import CLIPTokenizer
+
+            tokenizer = CLIPTokenizer.from_pretrained(
+                config_dict["model_path"], subfolder="tokenizer"
+            )
+
+    if dataloader is None:
+        dataloader = _build_dataloader(config_dict, config_dict_path, tokenizer)
+
+    if not config_dict["DEBUG"]:
+        dataloader._print_debug = False
+
+    train_rngs = jax.random.PRNGKey(config_dict["master_seed"])
+    (
+        unet_state,
+        text_encoder_state,
+        unet_ema_params,
+        text_encoder_ema_params,
+        frozen_vae,
+        frozen_schedulers,
+        model_object_dict,
+    ) = on_device_model_training_state(training_config, mesh=mesh)
+
+    train_step_funcs = dp_compile_all_unique_resolution(
+        unet_state,
+        text_encoder_state,
+        unet_ema_params,
+        text_encoder_ema_params,
+        frozen_vae,
+        frozen_schedulers,
+        training_config,
+        mesh=mesh,
+    )
+
+    if config_dict["DEBUG"]:
+        # careful: this mutates the persisted json states, as in the reference
+        config_dict["loss_logging_interval"] //= 10
+    if not os.path.isfile(config_dict["loss_csv"]):
+        with open(config_dict["loss_csv"], "w") as loss_file:
+            loss_file.write("steps, step_size, loss, time, chunk, seed\n")
+
+    for _ in range(config_dict["chunk_limit"]):
+        dataloader.delete_prev_chunks(prev_chunk=config_dict["chunk_number"] - 1)
+        if config_dict["chunk_number"] >= config_dict["chunk_limit"]:
+            dataloader.delete_prev_chunks(prev_chunk=config_dict["chunk_number"])
+            config_dict["chunk_number"] = 0
+        chunk = config_dict["chunk_number"]
+        dataloader.chunk_number = chunk
+        dataloader.grab_and_prefetch_chunk(
+            numb_of_prefetched_batch=config_dict["numb_of_prefetched_batch"],
+        )
+        dataloader.prepare_training_dataframe()
+        dataloader.create_training_dataframe()
+        if config_dict["DEBUG"]:
+            dataloader._bulk_batch_count = min(dataloader._bulk_batch_count, 100)
+        dataloader.dispatch_worker()
+
+        train_step_progress_bar = tqdm(
+            total=int(dataloader._bulk_batch_count + dataloader._first_batch_count),
+            desc="Training...",
+            position=1,
+            smoothing=0.3,
+            leave=False,
+        )
+
+        # pre-flight save probe: fail fast before burning a chunk of compute
+        try:
+            print("trying to save model to check if the saving mechanism works")
+            save_model(
+                model_object_dict=model_object_dict,
+                tokenizer_object=tokenizer,
+                unet_params=unet_state.params,
+                text_encoder_params=text_encoder_state.params,
+                vae_params=frozen_vae.params,
+                output_dir=config_dict["test_save_path"],
+            )
+            if config_dict["ema_rate"]:
+                save_model(
+                    model_object_dict=model_object_dict,
+                    tokenizer_object=tokenizer,
+                    unet_params=unet_ema_params
+                    if config_dict["accumulate_unet_ema"]
+                    else unet_state.params,
+                    text_encoder_params=text_encoder_ema_params
+                    if config_dict["accumulate_text_encoder_ema"]
+                    else text_encoder_state.params,
+                    vae_params=frozen_vae.params,
+                    output_dir=f"{config_dict['test_save_path']}-EMA",
+                )
+        except Exception as e:
+            print(
+                "failed to save model prior to training session! "
+                "please check your config or your code first"
+            )
+            print(f"reason: {e}")
+            sys.exit()
+
+        print("save function works as expected deleting the test model")
+        delete_file_or_folder(config_dict["test_save_path"])
+        delete_file_or_folder(f"{config_dict['test_save_path']}-EMA")
+
+        start = time.time()
+
+        for count in range(
+            int(dataloader._bulk_batch_count + dataloader._first_batch_count)
+        ):
+            current_batch = dataloader.grab_next_batch()
+            if isinstance(current_batch, str) and current_batch == "end_of_batch":
+                break
+            if current_batch is None:
+                continue
+
+            current_batch["input_ids"] = current_batch["input_ids"].reshape(
+                -1, config_dict["text_encoder_context_window"]
+            )
+            current_batch["attention_mask"] = current_batch[
+                "attention_mask"
+            ].reshape(-1, config_dict["text_encoder_context_window"])
+
+            train_step_progress_bar.update(1)
+            train_step_progress_bar.set_description(
+                desc=f'processing shape [{current_batch["pixel_values"].shape}]...'
+            )
+
+            # reference quirk kept: reset inside the loop, so the logged
+            # "avg loss" is the single current step's loss (SURVEY.md §2.1)
+            train_metrics = []
+
+            (
+                unet_state,
+                text_encoder_state,
+                unet_ema_params,
+                text_encoder_ema_params,
+                train_metric,
+                train_rngs,
+            ) = train_step_funcs[current_batch["pixel_values"].shape](
+                unet_state,
+                text_encoder_state,
+                unet_ema_params,
+                text_encoder_ema_params,
+                current_batch,
+                train_rngs,
+                frozen_vae,
+                frozen_schedulers,
+            )
+
+            # loss futures accumulate without forcing a device sync
+            train_metrics.append(train_metric["loss"])
+
+            if count % config_dict["loss_logging_interval"] == 0:
+                stop = time.time()
+                time_elapsed = round(stop - start, 4)
+                loss = sum(train_metrics) / len(train_metrics)
+                time_per_step = round(
+                    time_elapsed / config_dict["loss_logging_interval"], 4
+                )
+                start = time.time()
+                train_step_progress_bar.write(
+                    f"at steps {count}, avg loss for "
+                    f'{config_dict["loss_logging_interval"]} steps: {loss},'
+                    f"took {time_elapsed} second(s) or {time_per_step} "
+                    "second(s) per step"
+                )
+                with open(config_dict["loss_csv"], "a") as loss_file:
+                    loss_file.write(
+                        f'\n{count},{config_dict["loss_logging_interval"]},'
+                        f'{loss},{time_elapsed},{config_dict["chunk_steps"]},'
+                        f'{config_dict["master_seed"]}'
+                    )
+
+        # per-chunk checkpoint with rotation
+        model_path_without_chunk_number = config_dict["model_path"].split("@")[0]
+        latest_model_path = (
+            f'{model_path_without_chunk_number}@{config_dict["chunk_steps"]}'
+        )
+        save_model(
+            model_object_dict=model_object_dict,
+            tokenizer_object=tokenizer,
+            unet_params=unet_state.params,
+            text_encoder_params=text_encoder_state.params,
+            vae_params=frozen_vae.params,
+            output_dir=latest_model_path,
+        )
+        delete_file_or_folder(
+            f"{model_path_without_chunk_number}"
+            f'@{config_dict["chunk_steps"] - config_dict["keep_trained_model_buffer"]}'
+        )
+
+        if config_dict["ema_rate"]:
+            latest_ema_model_path = (
+                f'{model_path_without_chunk_number}-EMA@{config_dict["chunk_steps"]}'
+            )
+            save_model(
+                model_object_dict=model_object_dict,
+                tokenizer_object=tokenizer,
+                unet_params=unet_ema_params
+                if config_dict["accumulate_unet_ema"]
+                else unet_state.params,
+                text_encoder_params=text_encoder_ema_params
+                if config_dict["accumulate_text_encoder_ema"]
+                else text_encoder_state.params,
+                vae_params=frozen_vae.params,
+                output_dir=latest_ema_model_path,
+            )
+            delete_file_or_folder(
+                f"{model_path_without_chunk_number}-EMA"
+                f'@{config_dict["chunk_steps"] - config_dict["keep_trained_model_buffer"]}'
+            )
+
+        config_dict["model_path"] = latest_model_path
+        config_dict["chunk_number"] += 1
+        config_dict["chunk_steps"] += 1
+        save_dict_to_json(config_dict, config_dict_path)
+
+    # flush temp storage
+    for flushed_batch in range(
+        config_dict["chunk_limit"] + config_dict["numb_of_prefetched_batch"] + 1
+    ):
+        dataloader.delete_prev_chunks(prev_chunk=flushed_batch)
+
+    config_dict["master_seed"] += 1
+    save_dict_to_json(config_dict, config_dict_path)
