@@ -49,12 +49,17 @@ def scale_by_lion_8bit(
     mu_scale_dtype: Optional[chex.ArrayDType] = None,
     block_size: Optional[int] = 16,
     excluded_layer_mask: Optional[Any] = None,
+    use_pallas: Optional[bool] = None,
 ) -> optax.GradientTransformation:
     """Lion update direction with int8 block-quantized momentum.
 
     ``excluded_layer_mask``: boolean pytree (or prefix); True leaves get
     quantized momentum, False leaves keep a dense momentum in
     ``mu_scale_dtype``.
+
+    ``use_pallas``: route quantized leaves through the fused single-pass
+    Pallas kernel (``ops.lion_kernel``; identical numerics). ``None`` = auto
+    (on when the default backend is TPU).
     """
     mu_scale_dtype = jax.dtypes.canonicalize_dtype(mu_scale_dtype)
 
@@ -104,6 +109,40 @@ def scale_by_lion_8bit(
     def update_fn(updates, state, params=None):
         del params
         shapes = _shape_tree(updates)
+        pallas = use_pallas
+        if pallas is None:
+            pallas = jax.default_backend() == "tpu"
+
+        if pallas:
+            from ..ops.lion_kernel import fused_lion8bit_update
+
+            def _fused(g, m, shape):
+                if not _is_quantized(m):
+                    return (
+                        jnp.sign((1.0 - b1) * g + b1 * m),
+                        (1 - b2) * g + b2 * m,
+                    )
+                codes, scales = m
+                upd, new_codes, new_scales = fused_lion8bit_update(
+                    g, codes, scales, b1=b1, b2=b2,
+                    mu_scale_dtype=mu_scale_dtype,
+                )
+                return upd, (new_codes, new_scales)
+
+            fused = jax.tree_util.tree_map(
+                _fused, updates, state.mu_quant, shapes
+            )
+            # unzip the (update, momentum) pairs along the updates treedef
+            treedef = jax.tree_util.tree_structure(updates)
+            pairs = treedef.flatten_up_to(fused)
+            updates_new = treedef.unflatten([p[0] for p in pairs])
+            mu_quant = treedef.unflatten([p[1] for p in pairs])
+            count_inc = optax.safe_int32_increment(state.count)
+            return updates_new, ScaleBy8bitLionState(
+                count=count_inc,
+                mu_quant=mu_quant,
+                mu_quant_flag=state.mu_quant_flag,
+            )
 
         # update direction: sign of the b1-interpolation of grad and momentum.
         # `updates` (first arg) defines the tree structure, so the (int8, scales)
@@ -147,6 +186,7 @@ def lion_8bit(
     weight_decay: float = 1e-3,
     mask: Optional[Union[Any, Callable]] = None,
     excluded_layer_mask: Optional[Any] = None,
+    use_pallas: Optional[bool] = None,
 ) -> optax.GradientTransformation:
     """Lion with int8 momentum: quantized-Lion -> decoupled weight decay -> lr.
 
@@ -162,6 +202,7 @@ def lion_8bit(
             mu_scale_dtype=mu_scale_dtype,
             block_size=block_size,
             excluded_layer_mask=excluded_layer_mask,
+            use_pallas=use_pallas,
         ),
         optax.add_decayed_weights(weight_decay, mask),
         optax.scale_by_learning_rate(learning_rate),

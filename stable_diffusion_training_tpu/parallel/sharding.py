@@ -90,3 +90,18 @@ def params_tp_sharding(
     return jax.tree_util.tree_map_with_path(
         lambda path, leaf: NamedSharding(mesh, _spec_for(path, leaf)), tree
     )
+
+
+def train_state_tp_sharding(
+    state, mesh: Mesh, axis: str = "model_parallel", fsdp_rest: bool = False
+):
+    """Shardings for a full TrainState under tensor parallelism: Megatron
+    specs on ``params``; optimizer state (incl. quantized momentum block
+    layouts, which don't align with tensor dims) and counters follow the
+    FSDP rule or stay replicated."""
+    rest = (
+        params_fsdp_sharding(state, mesh)
+        if fsdp_rest
+        else replicated_tree(state, mesh)
+    )
+    return rest.replace(params=params_tp_sharding(state.params, mesh, axis))

@@ -56,6 +56,7 @@ class TrainingConfig:
     mesh_shape: Optional[List[int]] = None  # None -> (device_count, 1) pure DP
     mesh_axis_names: Optional[List[str]] = None
     fsdp_shard_params: bool = False  # ZeRO-style param sharding on "fsdp" axis
+    tensor_parallel_shard_params: bool = False  # Megatron TP on "model_parallel"
     gradient_checkpointing: bool = False
     train_unet: bool = True
     train_text_encoder: bool = True

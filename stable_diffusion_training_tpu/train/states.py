@@ -112,10 +112,12 @@ def load_models(training_config: TrainingConfig) -> dict:
         )
         vae = AutoencoderKL(**family["vae"], **common)
         text_encoder = CLIPTextModel(**family["text_encoder"], dtype=dtype, param_dtype=dtype)
-        with jax.default_device(jax.devices("cpu")[0]):
-            unet_params = unet.init(rng)
-            vae_params = vae.init(rng)
-            text_encoder_params = text_encoder.init(rng)
+        # init on the default device (NOT the CPU context): init traces the
+        # forward pass, and the Pallas attention kernel must run where the
+        # training will (compiled on TPU / interpret on CPU)
+        unet_params = unet.init(rng)
+        vae_params = vae.init(rng)
+        text_encoder_params = text_encoder.init(rng)
         tokenizer = None
 
     noise_scheduler = DDPMScheduler(
@@ -244,8 +246,12 @@ def create_lion_optimizer_states(
     return {"unet_state": unet_state, "text_encoder_state": text_encoder_state}
 
 
-def _state_sharding(tree, mesh: Mesh, fsdp: bool):
-    """Replicated (reference layout) or FSDP-sharded placement for a state."""
+def _state_sharding(tree, mesh: Mesh, fsdp: bool, tp: bool = False):
+    """Replicated (reference layout), FSDP-sharded, or TP(+FSDP) placement."""
+    if tp and hasattr(tree, "params"):
+        from ..parallel.sharding import train_state_tp_sharding
+
+        return train_state_tp_sharding(tree, mesh, fsdp_rest=fsdp)
     if not fsdp:
         return jax.tree_util.tree_map(
             lambda _: NamedSharding(mesh, PartitionSpec()), tree
@@ -282,17 +288,18 @@ def on_device_model_training_state(
     frozen_states = create_frozen_states(models=models)
 
     fsdp = training_config.fsdp_shard_params
+    tp = getattr(training_config, "tensor_parallel_shard_params", False)
 
-    def _put(tree, fsdp_this: bool = False):
+    def _put(tree, fsdp_this: bool = False, tp_this: bool = False):
         if tree is None:
             return None
-        shardings = _state_sharding(tree, mesh, fsdp_this)
+        shardings = _state_sharding(tree, mesh, fsdp_this, tp_this)
         return jax.tree_util.tree_map(
             lambda leaf, s: jax.device_put(leaf, device=s), tree, shardings
         )
 
-    unet_state = _put(trained_model_states["unet_state"], fsdp)
-    text_encoder_state = _put(trained_model_states["text_encoder_state"], fsdp)
+    unet_state = _put(trained_model_states["unet_state"], fsdp, tp)
+    text_encoder_state = _put(trained_model_states["text_encoder_state"], fsdp, tp)
     frozen_vae = _put(frozen_states["vae_state"])
     frozen_schedulers = _put(frozen_states["schedulers_state"])
 

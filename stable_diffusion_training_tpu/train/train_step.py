@@ -51,10 +51,17 @@ def train_step(
     perturbation_noise_magnitude: float = 0.0,
     ema_rate: float = 0.0,
     text_context_window: int = 77,
+    grad_accumulation_steps: int = 1,
 ):
     """One optimization step. Returns
     ``(unet_state, text_encoder_state, unet_ema, text_ema, {"loss"}, next_rng)``
-    in donation-compatible order (reference ``training_utils.py:749-762``)."""
+    in donation-compatible order (reference ``training_utils.py:749-762``).
+
+    ``grad_accumulation_steps > 1`` (a capability the reference lacks,
+    SURVEY.md §2.13) splits the batch into micro-batches scanned with
+    per-micro rng splits, averages grads, and applies ONE optimizer update;
+    the default of 1 keeps the reference's exact numerics.
+    """
     dropout_rng, sample_rng, new_train_rng = jax.random.split(train_rng, num=3)
 
     scheduler = frozen_noise_scheduler_state.call
@@ -80,8 +87,14 @@ def train_step(
             snr_weight = jnp.divide(min_snr_gamma, snr).astype(jnp.float32)
         return loss * snr_weight[:, None, None, None]
 
-    def compute_loss(
-        unet_params, text_encoder_params, vae_params, noise_scheduler_state, batch
+    def _compute_loss_with_rngs(
+        unet_params,
+        text_encoder_params,
+        vae_params,
+        noise_scheduler_state,
+        batch,
+        sample_rng,
+        dropout_rng,
     ):
         # NCHW loader batch -> NHWC compute layout (single transpose)
         pixels_nhwc = jnp.transpose(batch["pixel_values"], (0, 2, 3, 1))
@@ -196,14 +209,84 @@ def train_step(
             )
         return loss.mean()
 
+    def compute_loss(
+        unet_params, text_encoder_params, vae_params, noise_scheduler_state, batch
+    ):
+        return _compute_loss_with_rngs(
+            unet_params,
+            text_encoder_params,
+            vae_params,
+            noise_scheduler_state,
+            batch,
+            sample_rng,
+            dropout_rng,
+        )
+
     grad_fn = jax.value_and_grad(fun=compute_loss, argnums=[0, 1])
-    loss, grad = grad_fn(
-        unet_state.params,
-        text_encoder_state.params,
-        frozen_vae_state.params,
-        frozen_noise_scheduler_state.params,
-        batch,
-    )
+    if grad_accumulation_steps <= 1:
+        loss, grad = grad_fn(
+            unet_state.params,
+            text_encoder_state.params,
+            frozen_vae_state.params,
+            frozen_noise_scheduler_state.params,
+            batch,
+        )
+    else:
+        accum = grad_accumulation_steps
+        total_b = batch["pixel_values"].shape[0]
+        assert total_b % accum == 0, (total_b, accum)
+        micro_b = total_b // accum
+
+        def _split_leaf(leaf):
+            # leading dims are batch-derived (pixel_values B; ids B*concat)
+            per = leaf.shape[0] // accum
+            return leaf.reshape(accum, per, *leaf.shape[1:])
+
+        micro_batches = jax.tree_util.tree_map(_split_leaf, batch)
+        micro_rngs = jax.random.split(sample_rng, accum)
+        micro_dropout = jax.random.split(dropout_rng, accum)
+
+        def micro_step(carry, xs):
+            loss_acc, grad_acc = carry
+            mb, s_rng, d_rng = xs
+
+            def micro_loss(unet_p, te_p):
+                return _compute_loss_with_rngs(
+                    unet_p, te_p, frozen_vae_state.params,
+                    frozen_noise_scheduler_state.params, mb, s_rng, d_rng,
+                )
+
+            l, g = jax.value_and_grad(micro_loss, argnums=[0, 1])(
+                unet_state.params, text_encoder_state.params
+            )
+            grad_acc = jax.tree_util.tree_map(
+                lambda a, b: a + b / accum, grad_acc, tuple(g)
+            )
+            return (loss_acc + l / accum, grad_acc), None
+
+        zero_grads = (
+            jax.tree_util.tree_map(
+                lambda x: jnp.zeros_like(x, dtype=jnp.float32), unet_state.params
+            ),
+            jax.tree_util.tree_map(
+                lambda x: jnp.zeros_like(x, dtype=jnp.float32),
+                text_encoder_state.params,
+            ),
+        )
+        (loss, grad), _ = jax.lax.scan(
+            micro_step,
+            (jnp.zeros((), jnp.float32), zero_grads),
+            (micro_batches, micro_rngs, micro_dropout),
+        )
+        # back to param dtype (accumulation runs in f32 for stability)
+        grad = [
+            jax.tree_util.tree_map(
+                lambda g, p: g.astype(p.dtype), g_tree, params
+            )
+            for g_tree, params in zip(
+                grad, (unet_state.params, text_encoder_state.params)
+            )
+        ]
 
     new_unet_state = unet_state.apply_gradients(grads=grad[0])
     new_text_encoder_state = text_encoder_state.apply_gradients(grads=grad[1])

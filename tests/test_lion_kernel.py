@@ -1,0 +1,98 @@
+"""Fused Pallas Lion kernel parity vs the jnp/optax implementation."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stable_diffusion_training_tpu.ops.lion_kernel import fused_lion8bit_update
+from stable_diffusion_training_tpu.optim.lion8bit import scale_by_lion_8bit
+
+
+def _reference_leaf_update(g, codes, scales, b1, b2, block_size):
+    """Drive the optax transform on a single all-quantized leaf."""
+    tx = scale_by_lion_8bit(
+        b1=b1, b2=b2, block_size=block_size, excluded_layer_mask=True
+    )
+    params = {"w": jnp.zeros(g.shape, jnp.float32)}
+    state = tx.init(params)
+    state = state._replace(mu_quant={"w": (codes, scales)})
+    upd, new_state = tx.update({"w": g}, state)
+    new_codes, new_scales = new_state.mu_quant["w"]
+    return upd["w"], new_codes, new_scales
+
+
+@pytest.mark.parametrize("block_size", [16, 64, 128])
+@pytest.mark.parametrize("n", [2048, 2000 * 16])
+def test_fused_matches_optax(block_size, n):
+    if n % block_size:
+        n = (n // block_size) * block_size
+    rng = np.random.RandomState(0)
+    g = jnp.asarray(rng.randn(n).astype(np.float32) * 1e-3)
+    mu = jnp.asarray(rng.randn(n).astype(np.float32) * 1e-4)
+
+    # build a valid quantized momentum from mu
+    blocks = mu.reshape(-1, block_size)
+    absmax = jnp.max(jnp.abs(blocks), axis=-1, keepdims=True)
+    scales = 1 / jnp.where(absmax <= 0, 1.0, absmax)
+    from stable_diffusion_training_tpu.ops.lion_kernel import _quantize
+
+    codes = _quantize(blocks * scales)
+
+    ref_upd, ref_codes, ref_scales = _reference_leaf_update(
+        g, codes, scales, 0.9, 0.99, block_size
+    )
+    out_upd, out_codes, out_scales = fused_lion8bit_update(
+        g, codes, scales, b1=0.9, b2=0.99, interpret=True
+    )
+
+    np.testing.assert_array_equal(np.asarray(out_upd), np.asarray(ref_upd))
+    np.testing.assert_array_equal(np.asarray(out_codes), np.asarray(ref_codes))
+    np.testing.assert_allclose(
+        np.asarray(out_scales), np.asarray(ref_scales), rtol=1e-6
+    )
+
+
+def test_zero_block_guard():
+    """All-zero momentum blocks must round-trip without div-by-zero."""
+    n, bs = 256, 16
+    g = jnp.zeros((n,), jnp.float32)
+    codes = jnp.full((n // bs, bs), 3, jnp.int8)  # quantized zero is code 3
+    scales = jnp.ones((n // bs, 1), jnp.float32)
+    upd, new_codes, new_scales = fused_lion8bit_update(
+        g, codes, scales, interpret=True
+    )
+    assert bool(jnp.isfinite(new_scales).all())
+    assert bool(jnp.isfinite(upd).all())
+
+
+def test_transform_pallas_matches_jnp_path():
+    """scale_by_lion_8bit(use_pallas=True) == (use_pallas=False) end-to-end."""
+    import optax
+
+    rng = np.random.RandomState(1)
+    params = {
+        "a": jnp.asarray(rng.randn(8, 32).astype(np.float32)),
+        "b": jnp.asarray(rng.randn(64).astype(np.float32)),
+    }
+    mask = {"a": True, "b": False}  # quantize a, dense momentum for b
+    g = jax.tree.map(lambda x: jnp.asarray(rng.randn(*x.shape).astype(np.float32) * 1e-3), params)
+
+    tx_j = scale_by_lion_8bit(block_size=16, excluded_layer_mask=mask, use_pallas=False)
+    tx_p = scale_by_lion_8bit(block_size=16, excluded_layer_mask=mask, use_pallas=True)
+    s_j = tx_j.init(params)
+    s_p = tx_p.init(params)
+    for _ in range(3):
+        u_j, s_j = tx_j.update(g, s_j)
+        u_p, s_p = tx_p.update(g, s_p)
+    for a, b in zip(jax.tree.leaves(u_j), jax.tree.leaves(u_p)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(
+        np.asarray(s_j.mu_quant["a"][0]), np.asarray(s_p.mu_quant["a"][0])
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_j.mu_quant["a"][1]), np.asarray(s_p.mu_quant["a"][1]), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_j.mu_quant["b"]), np.asarray(s_p.mu_quant["b"]), atol=1e-7
+    )

@@ -300,3 +300,31 @@ class TestCheckpoint:
         a = orig_unet.apply(unet_state.params, sample, t, ctx)
         b = new_unet.apply(models["unet"]["unet_params"], sample, t, ctx)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+class TestGradAccumulation:
+    def test_accum_runs_and_is_finite(self, tiny_states):
+        _, states = tiny_states
+        unet_state, te_state, unet_ema, te_ema, fvae, fsched, _ = clone(states)
+        step = jax.jit(
+            train_step,
+            donate_argnums=(0, 1, 2, 3),
+            static_argnames=(
+                "strip_bos_eos_token", "offset_noise_magnitude",
+                "min_snr_gamma_magnitude", "perturbation_noise_magnitude",
+                "ema_rate", "grad_accumulation_steps",
+            ),
+        )
+        out = step(
+            unet_state, te_state, unet_ema, te_ema, _batch(), jax.random.PRNGKey(11),
+            fvae, fsched, strip_bos_eos_token=True,
+            offset_noise_magnitude=0.0, min_snr_gamma_magnitude=0.0,
+            perturbation_noise_magnitude=0.0, ema_rate=0.0,
+            grad_accumulation_steps=4,
+        )
+        assert np.isfinite(float(out[4]["loss"]))
+        # param dtypes preserved after the f32 accumulation
+        for p_old, p_new in zip(
+            jax.tree.leaves(states[0].params), jax.tree.leaves(out[0].params)
+        ):
+            assert p_old.dtype == p_new.dtype
