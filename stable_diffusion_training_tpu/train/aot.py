@@ -159,6 +159,8 @@ def dp_compile_all_unique_resolution(
                 "min_snr_gamma_magnitude",
                 "perturbation_noise_magnitude",
                 "ema_rate",
+                "grad_accumulation_steps",
+                "train_text_encoder",
             ),
             out_shardings=(
                 unet_sh,
@@ -185,6 +187,8 @@ def dp_compile_all_unique_resolution(
                 training_config.min_snr_gamma_magnitude,
                 training_config.perturbation_noise_magnitude,
                 training_config.ema_rate,
+                grad_accumulation_steps=training_config.grad_accumulation_steps,
+                train_text_encoder=training_config.train_text_encoder,
             )
         del batch
         gc.collect()

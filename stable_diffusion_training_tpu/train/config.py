@@ -63,6 +63,7 @@ class TrainingConfig:
     mixed_precision: str = "bfloat16"  # computation dtype for the models
     attention_backend: str = "auto"  # "auto" | "flash" | "xla"
     seed_init: int = 0  # rng for fresh-family init
+    grad_accumulation_steps: int = 1  # micro-batch accumulation (1 = off)
 
     def replace(self, **kwargs) -> "TrainingConfig":
         return dataclasses.replace(self, **kwargs)

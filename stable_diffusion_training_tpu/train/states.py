@@ -272,8 +272,8 @@ def on_device_model_training_state(
     models = load_models(training_config=training_config)
     trained_model_states = create_lion_optimizer_states(
         models=models,
-        train_text_encoder=training_config.train_text_encoder,
-        train_unet=training_config.train_unet,
+        train_text_encoder=True,
+        train_unet=True,
         adam_to_lion_scale_factor=7,
         excluded_layer_pattern_from_weight_decay=(
             training_config.excluded_layer_pattern_from_weight_decay
@@ -285,6 +285,15 @@ def on_device_model_training_state(
         quantize_unet_state=training_config.quantize_unet_state,
         quantize_text_encoder_state=training_config.quantize_text_encoder_state,
     )
+    if not training_config.train_text_encoder:
+        # frozen text encoder (SDXL-scale runs, BASELINE config 5): keep the
+        # TrainState surface the train step expects, but with a no-op
+        # optimizer so no momentum memory is allocated
+        trained_model_states["text_encoder_state"] = train_state.TrainState.create(
+            apply_fn=models["text_encoder"]["text_encoder_model"].__call__,
+            params=models["text_encoder"]["text_encoder_params"],
+            tx=optax.set_to_zero(),
+        )
     frozen_states = create_frozen_states(models=models)
 
     fsdp = training_config.fsdp_shard_params

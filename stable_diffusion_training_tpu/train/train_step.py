@@ -52,6 +52,7 @@ def train_step(
     ema_rate: float = 0.0,
     text_context_window: int = 77,
     grad_accumulation_steps: int = 1,
+    train_text_encoder: bool = True,
 ):
     """One optimization step. Returns
     ``(unet_state, text_encoder_state, unet_ema, text_ema, {"loss"}, next_rng)``
@@ -61,6 +62,13 @@ def train_step(
     SURVEY.md §2.13) splits the batch into micro-batches scanned with
     per-micro rng splits, averages grads, and applies ONE optimizer update;
     the default of 1 keeps the reference's exact numerics.
+
+    ``train_text_encoder=False`` freezes the text encoder (no grads, no
+    update) — required for SDXL-scale frozen-TE runs (BASELINE config 5).
+
+    If the batch carries precomputed VAE ``latent_moments`` (NCHW, 2*latent
+    channels; see ``data.latent_cache``) the VAE encode is skipped — the
+    offline-latent-cache fast path.
     """
     dropout_rng, sample_rng, new_train_rng = jax.random.split(train_rng, num=3)
 
@@ -97,16 +105,24 @@ def train_step(
         dropout_rng,
     ):
         # NCHW loader batch -> NHWC compute layout (single transpose)
-        pixels_nhwc = jnp.transpose(batch["pixel_values"], (0, 2, 3, 1))
-        vae_outputs = frozen_vae_state.call.apply(
-            {"params": vae_params},
-            pixels_nhwc,
-            deterministic=True,
-            method="encode",
-        )
+        if "latent_moments" in batch:
+            # offline VAE-latent cache fast path: moments precomputed
+            from ..models.vae import DiagonalGaussianDistribution
+
+            moments_nhwc = jnp.transpose(batch["latent_moments"], (0, 2, 3, 1))
+            latent_dist = DiagonalGaussianDistribution(moments_nhwc, axis=-1)
+        else:
+            pixels_nhwc = jnp.transpose(batch["pixel_values"], (0, 2, 3, 1))
+            vae_outputs = frozen_vae_state.call.apply(
+                {"params": vae_params},
+                pixels_nhwc,
+                deterministic=True,
+                method="encode",
+            )
+            latent_dist = vae_outputs.latent_dist
         # NHWC latent sample — same rng/shape as the reference's pre-transpose
         # sample (training_utils.py:582), so values match bit-for-bit
-        latents = vae_outputs.latent_dist.sample(sample_rng)
+        latents = latent_dist.sample(sample_rng)
         latents = latents * 0.18215
 
         b, lh, lw, lc = latents.shape
@@ -222,7 +238,8 @@ def train_step(
             dropout_rng,
         )
 
-    grad_fn = jax.value_and_grad(fun=compute_loss, argnums=[0, 1])
+    diff_argnums = [0, 1] if train_text_encoder else [0]
+    grad_fn = jax.value_and_grad(fun=compute_loss, argnums=diff_argnums)
     if grad_accumulation_steps <= 1:
         loss, grad = grad_fn(
             unet_state.params,
@@ -256,7 +273,7 @@ def train_step(
                     frozen_noise_scheduler_state.params, mb, s_rng, d_rng,
                 )
 
-            l, g = jax.value_and_grad(micro_loss, argnums=[0, 1])(
+            l, g = jax.value_and_grad(micro_loss, argnums=diff_argnums)(
                 unet_state.params, text_encoder_state.params
             )
             grad_acc = jax.tree_util.tree_map(
@@ -264,14 +281,14 @@ def train_step(
             )
             return (loss_acc + l / accum, grad_acc), None
 
-        zero_grads = (
+        diff_params = (unet_state.params, text_encoder_state.params)[
+            : len(diff_argnums)
+        ]
+        zero_grads = tuple(
             jax.tree_util.tree_map(
-                lambda x: jnp.zeros_like(x, dtype=jnp.float32), unet_state.params
-            ),
-            jax.tree_util.tree_map(
-                lambda x: jnp.zeros_like(x, dtype=jnp.float32),
-                text_encoder_state.params,
-            ),
+                lambda x: jnp.zeros_like(x, dtype=jnp.float32), p
+            )
+            for p in diff_params
         )
         (loss, grad), _ = jax.lax.scan(
             micro_step,
@@ -283,13 +300,14 @@ def train_step(
             jax.tree_util.tree_map(
                 lambda g, p: g.astype(p.dtype), g_tree, params
             )
-            for g_tree, params in zip(
-                grad, (unet_state.params, text_encoder_state.params)
-            )
+            for g_tree, params in zip(grad, diff_params)
         ]
 
     new_unet_state = unet_state.apply_gradients(grads=grad[0])
-    new_text_encoder_state = text_encoder_state.apply_gradients(grads=grad[1])
+    if train_text_encoder:
+        new_text_encoder_state = text_encoder_state.apply_gradients(grads=grad[1])
+    else:
+        new_text_encoder_state = text_encoder_state
 
     if ema_rate and unet_ema_params is not None:
         new_unet_ema_params = compute_model_ema(
