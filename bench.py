@@ -20,7 +20,6 @@ import os
 import time
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 # images/sec/chip recorded for this benchmark's first honest (value-synced)

@@ -10,10 +10,13 @@ threaded decode workers filling a queue, and the
 from .buckets import calculate_resolution_array, all_bucket_resolutions
 from .memory import InMemoryDataLoader
 from .dataloader import DataLoader
+from .latent_cache import CachedLatentLoader, precompute_latent_cache
 
 __all__ = [
     "calculate_resolution_array",
     "all_bucket_resolutions",
     "InMemoryDataLoader",
     "DataLoader",
+    "CachedLatentLoader",
+    "precompute_latent_cache",
 ]

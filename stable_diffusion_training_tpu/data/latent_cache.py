@@ -13,7 +13,7 @@ Cached batches carry ``latent_moments`` (NCHW) instead of ``pixel_values``;
 """
 
 import os
-from typing import Dict, Iterable, List, Optional
+from typing import Dict, Iterable, List
 
 import jax
 import jax.numpy as jnp

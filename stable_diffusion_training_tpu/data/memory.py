@@ -7,7 +7,7 @@ the reference loader (``/root/reference/training.py:189-209``):
 loader-agnostic.
 """
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 

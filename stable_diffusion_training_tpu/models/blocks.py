@@ -8,7 +8,7 @@ the convs; time-embedding broadcast is a single add).
 """
 
 import math
-from typing import Optional, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp

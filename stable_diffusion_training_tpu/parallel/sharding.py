@@ -14,7 +14,7 @@ TP rule (UNet/CLIP matmuls): column-parallel on to_q/k/v + FF-in kernels
 replicated elsewhere — the Megatron layout expressed as PartitionSpecs.
 """
 
-from typing import Any, Optional
+from typing import Any
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec

@@ -15,7 +15,6 @@ instead). Latent rng shapes follow the reference's NCHW convention so
 same-seed outputs are comparable.
 """
 
-from functools import partial
 from typing import Any, Dict, List, Optional, Union
 
 import jax

@@ -153,15 +153,11 @@ def dp_compile_all_unique_resolution(
                 vae_sh,
                 sched_sh,
             ),
-            static_argnames=(
-                "strip_bos_eos_token",
-                "offset_noise_magnitude",
-                "min_snr_gamma_magnitude",
-                "perturbation_noise_magnitude",
-                "ema_rate",
-                "grad_accumulation_steps",
-                "train_text_encoder",
-            ),
+            # args 8..15 = (strip_bos_eos_token, offset_noise_magnitude,
+            # min_snr_gamma_magnitude, perturbation_noise_magnitude, ema_rate,
+            # text_context_window, grad_accumulation_steps, train_text_encoder)
+            # — positional because pjit with in_shardings rejects kwargs
+            static_argnums=(8, 9, 10, 11, 12, 13, 14, 15),
             out_shardings=(
                 unet_sh,
                 text_sh,
@@ -187,8 +183,9 @@ def dp_compile_all_unique_resolution(
                 training_config.min_snr_gamma_magnitude,
                 training_config.perturbation_noise_magnitude,
                 training_config.ema_rate,
-                grad_accumulation_steps=training_config.grad_accumulation_steps,
-                train_text_encoder=training_config.train_text_encoder,
+                training_config.text_encoder_context_window,
+                training_config.grad_accumulation_steps,
+                training_config.train_text_encoder,
             )
         del batch
         gc.collect()

@@ -193,6 +193,16 @@ def train_step(
                 (b, -1, encoder_hidden_states.shape[-1]),
             )
 
+        # SDXL micro-conditioning: the loader supplies pooled text embeds
+        # (from the frozen second text encoder, typically precomputed
+        # alongside the latent cache) and per-sample size/crop time_ids
+        unet_kwargs = {}
+        if "pooled_text_embeds" in batch:
+            unet_kwargs["added_cond_kwargs"] = {
+                "text_embeds": batch["pooled_text_embeds"],
+                "time_ids": batch["time_ids"],
+            }
+
         model_pred = _unwrap(
             unet_state.apply_fn(
                 {"params": unet_params},
@@ -201,6 +211,7 @@ def train_step(
                 encoder_hidden_states,
                 train=True,
                 rngs={"dropout": dropout_rng},
+                **unet_kwargs,
             )
         )
 

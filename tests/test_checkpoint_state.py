@@ -12,7 +12,6 @@ from stable_diffusion_training_tpu.train.checkpoint import (
 
 
 def test_full_state_roundtrip(tmp_path):
-    import optax
     from flax.training import train_state
 
     from stable_diffusion_training_tpu.optim import create_mask, lion_8bit

@@ -2,13 +2,11 @@
 (same rng -> identical loss), frozen text encoder support."""
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 import pytest
 
 from stable_diffusion_training_tpu.data import InMemoryDataLoader
 from stable_diffusion_training_tpu.data.latent_cache import (
-    CachedLatentLoader,
     precompute_latent_cache,
 )
 from stable_diffusion_training_tpu.train import train_step

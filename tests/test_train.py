@@ -8,7 +8,6 @@ import numpy as np
 import pytest
 
 from stable_diffusion_training_tpu.core import mesh as mesh_lib
-from stable_diffusion_training_tpu.data import InMemoryDataLoader
 from stable_diffusion_training_tpu.train import (
     TrainingConfig,
     on_device_model_training_state,
