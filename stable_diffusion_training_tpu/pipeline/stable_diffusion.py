@@ -294,5 +294,14 @@ class StableDiffusionPipeline:
         return [Image.fromarray(im) for im in images]
 
 
+def unshard(x: jnp.ndarray) -> jnp.ndarray:
+    """Merge a per-device leading axis: (d, b, ...) -> (d*b, ...)
+    (reference pipeline helper, ``pipeline_flax_stable_diffusion.py:395-399``;
+    kept for API parity even though the jit path never shards outputs this
+    way)."""
+    num_devices, batch_size = x.shape[:2]
+    return x.reshape(num_devices * batch_size, *x.shape[2:])
+
+
 # reference-compatible alias
 FlaxStableDiffusionPipeline = StableDiffusionPipeline

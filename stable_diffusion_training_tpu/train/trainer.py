@@ -28,6 +28,7 @@ import time
 from typing import Any, Optional
 
 import jax
+from jax.sharding import NamedSharding, PartitionSpec
 from tqdm.auto import tqdm
 
 from ..utils.json_io import delete_file_or_folder, read_json_file, save_dict_to_json
@@ -71,6 +72,37 @@ def _build_dataloader(config_dict, config_dict_path, tokenizer):
             "context_window_concatenation_count"
         ],
     )
+
+
+def _prefetch_to_device(dataloader, total: int, context_window: int, mesh):
+    """One-ahead host->HBM prefetch: grab batch N+1 and start its async
+    device_put (DP-sharded) while step N executes, so the UNet never waits
+    on the H2D transfer (TPU-native data path; the reference hands numpy to
+    the compiled call, paying the transfer synchronously at dispatch).
+
+    Yields the same (batch | None | 'end_of_batch') stream as
+    ``grab_next_batch`` with ids/mask already reshaped to the context window.
+    """
+    sharding = NamedSharding(mesh, PartitionSpec("data_parallel"))
+
+    def _grab():
+        b = dataloader.grab_next_batch()
+        if b is None or isinstance(b, str):
+            return b
+        b["input_ids"] = b["input_ids"].reshape(-1, context_window)
+        b["attention_mask"] = b["attention_mask"].reshape(-1, context_window)
+        return jax.tree_util.tree_map(
+            lambda leaf: jax.device_put(leaf, sharding), b
+        )
+
+    pending = _grab()
+    for i in range(total):
+        current = pending
+        if i < total - 1 and not (
+            isinstance(current, str) and current == "end_of_batch"
+        ):
+            pending = _grab()  # starts async H2D while caller runs the step
+        yield current
 
 
 def main(
@@ -124,6 +156,12 @@ def main(
     if not os.path.isfile(config_dict["loss_csv"]):
         with open(config_dict["loss_csv"], "w") as loss_file:
             loss_file.write("steps, step_size, loss, time, chunk, seed\n")
+
+    # first-class profiling (new; the reference only had ad-hoc prints —
+    # SURVEY.md §5.1): set "profile_trace_dir" in the config to capture an
+    # xplane trace of the first few steps of the first chunk
+    profile_trace_dir = config_dict.get("profile_trace_dir")
+    profiled = False
 
     for _ in range(config_dict["chunk_limit"]):
         dataloader.delete_prev_chunks(prev_chunk=config_dict["chunk_number"] - 1)
@@ -187,21 +225,25 @@ def main(
 
         start = time.time()
 
-        for count in range(
-            int(dataloader._bulk_batch_count + dataloader._first_batch_count)
-        ):
-            current_batch = dataloader.grab_next_batch()
+        if profile_trace_dir and not profiled:
+            jax.profiler.start_trace(profile_trace_dir)
+
+        total_batches = int(
+            dataloader._bulk_batch_count + dataloader._first_batch_count
+        )
+        from ..core import mesh as mesh_lib
+
+        batch_stream = _prefetch_to_device(
+            dataloader,
+            total_batches,
+            config_dict["text_encoder_context_window"],
+            mesh or mesh_lib.get_default_mesh(),
+        )
+        for count, current_batch in enumerate(batch_stream):
             if isinstance(current_batch, str) and current_batch == "end_of_batch":
                 break
             if current_batch is None:
                 continue
-
-            current_batch["input_ids"] = current_batch["input_ids"].reshape(
-                -1, config_dict["text_encoder_context_window"]
-            )
-            current_batch["attention_mask"] = current_batch[
-                "attention_mask"
-            ].reshape(-1, config_dict["text_encoder_context_window"])
 
             train_step_progress_bar.update(1)
             train_step_progress_bar.set_description(
@@ -232,6 +274,13 @@ def main(
 
             # loss futures accumulate without forcing a device sync
             train_metrics.append(train_metric["loss"])
+
+            if profile_trace_dir and not profiled and count >= min(
+                4, config_dict["loss_logging_interval"]
+            ):
+                jax.block_until_ready(train_metric["loss"])
+                jax.profiler.stop_trace()
+                profiled = True
 
             if count % config_dict["loss_logging_interval"] == 0:
                 stop = time.time()

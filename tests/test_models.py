@@ -220,3 +220,37 @@ class TestCLIP:
         with torch.no_grad():
             theirs = hf_model(torch.tensor(ids_np)).last_hidden_state.numpy()
         np.testing.assert_allclose(np.asarray(ours), theirs, atol=2e-5)
+
+
+class TestSD21Variants:
+    """SD2.1 architecture knobs: per-block head dims, linear in/out
+    projections in the spatial transformer, gelu CLIP."""
+
+    def test_per_block_heads_and_linear_projection(self, rng):
+        cfg = dict(configs.TINY_UNET)
+        cfg.update(attention_head_dim=(2, 4), use_linear_projection=True)
+        unet = UNet2DConditionModel(**cfg)
+        params = unet.init(rng, batch_size=1, height=8, width=8)
+        out = unet.apply(
+            params, jnp.ones((1, 4, 8, 8)), jnp.array([3]), jnp.ones((1, 77, 32))
+        )
+        assert out.shape == (1, 4, 8, 8)
+        assert bool(jnp.isfinite(out).all())
+        # linear projection -> proj_in is a Dense kernel (2D), not a 1x1 conv
+        proj_in = params["down_blocks_0"]["attentions_0"]["proj_in"]["kernel"]
+        assert proj_in.ndim == 2
+
+    def test_gelu_clip_variant(self, rng):
+        cfg = dict(configs.TINY_CLIP, hidden_act="gelu")
+        te = CLIPTextModel(**cfg)
+        params = te.init(rng)
+        out = te(jnp.ones((1, 77), jnp.int32), params=params)[0]
+        assert bool(jnp.isfinite(out).all())
+
+    def test_sd21_full_config_constructs(self):
+        """The real SD2.1 config builds a module (no init — too big for CI)."""
+        unet = UNet2DConditionModel(**configs.SD21_UNET)
+        assert unet.config.cross_attention_dim == 1024
+        assert tuple(unet.config.attention_head_dim) == (5, 10, 20, 20)
+        te = CLIPTextModel(**configs.OPEN_CLIP_VIT_H)
+        assert te.text_config.num_hidden_layers == 23
