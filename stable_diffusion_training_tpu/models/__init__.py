@@ -8,7 +8,7 @@ instead of the reference's key-chunk-patched diffusers attention, and
 checkpoint converters to/from the diffusers on-disk format (``hf_io``).
 """
 
-from .clip import CLIPTextConfig, CLIPTextModel
+from .clip import CLIPTextConfig, CLIPTextModel, CLIPTextModelWithProjection
 from .unet import UNet2DConditionModel
 from .vae import AutoencoderKL, DiagonalGaussianDistribution
 from . import configs
@@ -16,6 +16,7 @@ from . import configs
 __all__ = [
     "CLIPTextConfig",
     "CLIPTextModel",
+    "CLIPTextModelWithProjection",
     "UNet2DConditionModel",
     "AutoencoderKL",
     "DiagonalGaussianDistribution",

@@ -55,8 +55,10 @@ class CLIPTextConfig:
 def _act(name: str):
     if name == "quick_gelu":
         return lambda x: x * jax.nn.sigmoid(1.702 * x)
-    if name in ("gelu", "gelu_new"):
-        return nn.gelu
+    if name == "gelu":  # transformers "gelu" is the exact erf form
+        return lambda x: nn.gelu(x, approximate=False)
+    if name in ("gelu_new", "gelu_pytorch_tanh"):
+        return lambda x: nn.gelu(x, approximate=True)
     raise ValueError(f"unknown activation {name!r}")
 
 
@@ -216,6 +218,34 @@ class _TextOutput:
         return (self.last_hidden_state, self.pooler_output, self.hidden_states)[idx]
 
 
+class _ProjectedTextOutput:
+    """Output of the projection variant: ``[0]`` is ``text_embeds`` (the
+    pooled-and-projected vector SDXL consumes as micro-conditioning)."""
+
+    def __init__(self, text_embeds, last_hidden_state, hidden_states=None):
+        self.text_embeds = text_embeds
+        self.last_hidden_state = last_hidden_state
+        self.hidden_states = hidden_states
+
+    def __getitem__(self, idx):
+        return (self.text_embeds, self.last_hidden_state, self.hidden_states)[idx]
+
+
+def _pool_eos(last_hidden_state, input_ids, eos_token_id):
+    """CLIP pooling: hidden state at the EOS token.
+
+    transformers keeps a legacy path for ``eos_token_id == 2`` (the value in
+    SDXL's text_encoder_2 config): pool at ``input_ids.argmax(-1)`` — the
+    highest token id, which is the EOT token for CLIP vocabularies — instead
+    of the first literal EOS match. Reproduced exactly for checkpoint parity.
+    """
+    if eos_token_id == 2:
+        eos_pos = jnp.argmax(input_ids, axis=-1)
+    else:
+        eos_pos = jnp.argmax((input_ids == eos_token_id).astype(jnp.int32), axis=-1)
+    return last_hidden_state[jnp.arange(last_hidden_state.shape[0]), eos_pos]
+
+
 class CLIPTextModel(ConfigurableMixin):
     """Configured CLIP text tower with the transformers-compatible surface:
     ``model(input_ids, params=..., train=..., dropout_rng=...)[0]``."""
@@ -296,3 +326,110 @@ class CLIPTextModel(ConfigurableMixin):
 
     def _diffusers_class_name(self) -> str:
         return "CLIPTextModel"
+
+
+class CLIPTextProjectionCore(nn.Module):
+    """Text tower + linear projection on the EOS-pooled hidden state.
+    The submodule attribute name ``text_model`` sets the param scope to
+    match the transformers checkpoint nesting."""
+
+    text_model: CLIPTextCore
+    projection_dim: int
+    eos_token_id: int
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, input_ids, output_hidden_states: bool = False):
+        out = self.text_model(input_ids, output_hidden_states=output_hidden_states)
+        last_hidden = out[0] if output_hidden_states else out
+        pooled = _pool_eos(last_hidden, input_ids, self.eos_token_id)
+        text_embeds = nn.Dense(
+            self.projection_dim,
+            use_bias=False,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="text_projection",
+        )(pooled)
+        if output_hidden_states:
+            return text_embeds, last_hidden, out[1]
+        return text_embeds, last_hidden
+
+
+class CLIPTextModelWithProjection(ConfigurableMixin):
+    """SDXL's second text encoder: the tower plus ``text_projection``
+    producing the pooled ``text_embeds`` micro-conditioning vector.
+    Surface mirrors transformers' ``FlaxCLIPTextModelWithProjection``."""
+
+    config_name = "config.json"
+
+    def __init__(
+        self,
+        config: Optional[CLIPTextConfig] = None,
+        dtype: jnp.dtype = jnp.float32,
+        param_dtype: jnp.dtype = jnp.float32,
+        **config_kwargs,
+    ):
+        config = config or CLIPTextConfig(**config_kwargs)
+        self.text_config = config
+        self.dtype = dtype
+        self._register_config(config.to_dict())
+        tower = CLIPTextCore(
+            vocab_size=config.vocab_size,
+            hidden_size=config.hidden_size,
+            intermediate_size=config.intermediate_size,
+            num_hidden_layers=config.num_hidden_layers,
+            num_heads=config.num_attention_heads,
+            max_position_embeddings=config.max_position_embeddings,
+            hidden_act=config.hidden_act,
+            layer_norm_eps=config.layer_norm_eps,
+            dtype=dtype,
+            param_dtype=param_dtype,
+        )
+        self.module = CLIPTextProjectionCore(
+            text_model=tower,
+            projection_dim=config.projection_dim,
+            eos_token_id=config.eos_token_id,
+            dtype=dtype,
+            param_dtype=param_dtype,
+        )
+
+    @classmethod
+    def from_config(cls, config, **overrides):
+        import inspect
+
+        accepted = set(inspect.signature(CLIPTextConfig.__init__).parameters) - {
+            "self"
+        }
+        config = {k: v for k, v in dict(config).items() if k in accepted}
+        config.update(overrides)
+        return cls(**config)
+
+    def init(self, rng, batch_size: int = 1):
+        ids = jnp.zeros(
+            (batch_size, self.text_config.max_position_embeddings), jnp.int32
+        )
+        return self.module.init(rng, ids)["params"]
+
+    def __call__(
+        self,
+        input_ids,
+        attention_mask=None,
+        params=None,
+        dropout_rng=None,
+        train: bool = False,
+        output_hidden_states: bool = False,
+    ):
+        del attention_mask, dropout_rng, train
+        variables = params if isinstance(params, dict) and "params" in params else {
+            "params": params
+        }
+        out = self.module.apply(
+            variables, input_ids, output_hidden_states=output_hidden_states
+        )
+        if output_hidden_states:
+            return _ProjectedTextOutput(out[0], out[1], hidden_states=out[2])
+        return _ProjectedTextOutput(out[0], out[1])
+
+    def _diffusers_class_name(self) -> str:
+        return "CLIPTextModelWithProjection"

@@ -277,6 +277,19 @@ def load_text_encoder_params(directory: str, dtype=None) -> Dict[str, Any]:
     return torch_state_dict_to_flax(sd, dtype=dtype)
 
 
+def load_text_encoder_2_params(directory: str, dtype=None) -> Dict[str, Any]:
+    """transformers CLIPTextModelWithProjection (SDXL text_encoder_2): keep
+    the ``text_model`` nesting (this model wraps the tower as a submodule),
+    fold embeddings/encoder.layers, keep ``text_projection`` at top level."""
+    sd = load_torch_weights(directory)
+    sd = {
+        k.replace("text_model.embeddings.", "text_model.")
+        .replace("text_model.encoder.layers", "text_model.layers"): v
+        for k, v in sd.items()
+    }
+    return torch_state_dict_to_flax(sd, dtype=dtype)
+
+
 def save_unet_params(params, directory: str) -> None:
     os.makedirs(directory, exist_ok=True)
     save_safetensors(

@@ -5,5 +5,12 @@ from .stable_diffusion import (
     StableDiffusionPipeline,
     unshard,
 )
+from .sdxl import FlaxStableDiffusionXLPipeline, StableDiffusionXLPipeline
 
-__all__ = ["StableDiffusionPipeline", "FlaxStableDiffusionPipeline", "unshard"]
+__all__ = [
+    "StableDiffusionPipeline",
+    "FlaxStableDiffusionPipeline",
+    "StableDiffusionXLPipeline",
+    "FlaxStableDiffusionXLPipeline",
+    "unshard",
+]

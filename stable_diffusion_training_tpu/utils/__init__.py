@@ -6,10 +6,13 @@ Provides the same surface the reference imports from ``streamer.utils``
 
 from .json_io import read_json_file, save_dict_to_json, delete_file_or_folder
 from .timing import TimingContextManager
+from .profiling import StepTimer, profiler_trace
 
 __all__ = [
     "read_json_file",
     "save_dict_to_json",
     "delete_file_or_folder",
     "TimingContextManager",
+    "StepTimer",
+    "profiler_trace",
 ]

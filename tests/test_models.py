@@ -254,3 +254,60 @@ class TestSD21Variants:
         assert tuple(unet.config.attention_head_dim) == (5, 10, 20, 20)
         te = CLIPTextModel(**configs.OPEN_CLIP_VIT_H)
         assert te.text_config.num_hidden_layers == 23
+
+
+class TestCLIPWithProjection:
+    def test_forward_shapes(self, rng):
+        from stable_diffusion_training_tpu.models import CLIPTextModelWithProjection
+
+        te2 = CLIPTextModelWithProjection(**configs.TINY_CLIP, projection_dim=16,
+                                          eos_token_id=2)
+        params = te2.init(rng)
+        # eos_token_id=2 takes the transformers legacy path: pool at the
+        # highest-token-id position (the EOT token in CLIP vocabularies)
+        ids = jnp.full((2, 77), 5, jnp.int32).at[:, 10].set(999)
+        out = te2(ids, params=params)
+        assert out.text_embeds.shape == (2, 16)
+        assert out[1].shape == (2, 77, 32)  # last_hidden_state
+        hs = te2(ids, params=params, output_hidden_states=True)
+        assert len(hs.hidden_states) == configs.TINY_CLIP["num_hidden_layers"] + 1
+
+    def test_parity_vs_torch_with_projection(self, rng):
+        """Pooling position + projection match PyTorch transformers."""
+        torch = pytest.importorskip("torch")
+        from transformers import CLIPTextConfig as HFConfig
+        from transformers import CLIPTextModelWithProjection as HFModel
+
+        from stable_diffusion_training_tpu.models import CLIPTextModelWithProjection
+        from stable_diffusion_training_tpu.models.hf_io import (
+            torch_state_dict_to_flax,
+        )
+
+        hf_cfg = HFConfig(
+            vocab_size=1000, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=2, num_attention_heads=4,
+            max_position_embeddings=77, hidden_act="gelu",
+            projection_dim=16, eos_token_id=2,
+        )
+        torch.manual_seed(1)
+        hf_model = HFModel(hf_cfg).eval()
+        sd = {k: v.numpy() for k, v in hf_model.state_dict().items()}
+        sd = {
+            k.replace("text_model.embeddings.", "text_model.")
+            .replace("text_model.encoder.layers", "text_model.layers"): v
+            for k, v in sd.items()
+        }
+        params = torch_state_dict_to_flax(sd)
+
+        te2 = CLIPTextModelWithProjection(
+            **dict(configs.TINY_CLIP, hidden_act="gelu"),
+            projection_dim=16, eos_token_id=2,
+        )
+        ids_np = np.random.RandomState(1).randint(3, 1000, size=(2, 77))
+        ids_np[:, 20] = 2  # EOS
+        ours = te2(jnp.asarray(ids_np), params=params)
+        with torch.no_grad():
+            theirs = hf_model(torch.tensor(ids_np))
+        np.testing.assert_allclose(
+            np.asarray(ours.text_embeds), theirs.text_embeds.numpy(), atol=2e-5
+        )
