@@ -105,6 +105,90 @@ def _prefetch_to_device(dataloader, total: int, context_window: int, mesh):
         yield current
 
 
+def _run_save_probe(
+    config_dict, model_object_dict, tokenizer,
+    unet_state, text_encoder_state, unet_ema_params, text_encoder_ema_params,
+    frozen_vae,
+) -> None:
+    """Pre-flight probe: a REAL save (+EMA) to test_save_path, hard exit on
+    failure, probe deleted on success (reference training.py:150-184)."""
+    probe_path = config_dict["test_save_path"]
+    try:
+        print("trying to save model to check if the saving mechanism works")
+        save_model(
+            model_object_dict=model_object_dict,
+            tokenizer_object=tokenizer,
+            unet_params=unet_state.params,
+            text_encoder_params=text_encoder_state.params,
+            vae_params=frozen_vae.params,
+            output_dir=probe_path,
+        )
+        if config_dict["ema_rate"]:
+            save_model(
+                model_object_dict=model_object_dict,
+                tokenizer_object=tokenizer,
+                unet_params=unet_ema_params
+                if config_dict["accumulate_unet_ema"]
+                else unet_state.params,
+                text_encoder_params=text_encoder_ema_params
+                if config_dict["accumulate_text_encoder_ema"]
+                else text_encoder_state.params,
+                vae_params=frozen_vae.params,
+                output_dir=f"{probe_path}-EMA",
+            )
+    except Exception as e:
+        print(
+            "failed to save model prior to training session! "
+            "please check your config or your code first"
+        )
+        print(f"reason: {e}")
+        sys.exit()
+
+    print("save function works as expected deleting the test model")
+    delete_file_or_folder(probe_path)
+    delete_file_or_folder(f"{probe_path}-EMA")
+
+
+def _save_chunk_checkpoints(
+    config_dict, model_object_dict, tokenizer,
+    unet_state, text_encoder_state, unet_ema_params, text_encoder_ema_params,
+    frozen_vae,
+) -> str:
+    """Per-chunk checkpoint to {base}@{chunk_steps} (+-EMA) with rotation
+    deleting @{chunk_steps - keep_trained_model_buffer}
+    (reference training.py:260-299). Returns the new model path."""
+    base = config_dict["model_path"].split("@")[0]
+    steps = config_dict["chunk_steps"]
+    keep = config_dict["keep_trained_model_buffer"]
+
+    latest_model_path = f"{base}@{steps}"
+    save_model(
+        model_object_dict=model_object_dict,
+        tokenizer_object=tokenizer,
+        unet_params=unet_state.params,
+        text_encoder_params=text_encoder_state.params,
+        vae_params=frozen_vae.params,
+        output_dir=latest_model_path,
+    )
+    delete_file_or_folder(f"{base}@{steps - keep}")
+
+    if config_dict["ema_rate"]:
+        save_model(
+            model_object_dict=model_object_dict,
+            tokenizer_object=tokenizer,
+            unet_params=unet_ema_params
+            if config_dict["accumulate_unet_ema"]
+            else unet_state.params,
+            text_encoder_params=text_encoder_ema_params
+            if config_dict["accumulate_text_encoder_ema"]
+            else text_encoder_state.params,
+            vae_params=frozen_vae.params,
+            output_dir=f"{base}-EMA@{steps}",
+        )
+        delete_file_or_folder(f"{base}-EMA@{steps - keep}")
+    return latest_model_path
+
+
 def main(
     config_dict_path: str = "model_properties.json",
     dataloader: Optional[Any] = None,
@@ -187,41 +271,11 @@ def main(
             leave=False,
         )
 
-        # pre-flight save probe: fail fast before burning a chunk of compute
-        try:
-            print("trying to save model to check if the saving mechanism works")
-            save_model(
-                model_object_dict=model_object_dict,
-                tokenizer_object=tokenizer,
-                unet_params=unet_state.params,
-                text_encoder_params=text_encoder_state.params,
-                vae_params=frozen_vae.params,
-                output_dir=config_dict["test_save_path"],
-            )
-            if config_dict["ema_rate"]:
-                save_model(
-                    model_object_dict=model_object_dict,
-                    tokenizer_object=tokenizer,
-                    unet_params=unet_ema_params
-                    if config_dict["accumulate_unet_ema"]
-                    else unet_state.params,
-                    text_encoder_params=text_encoder_ema_params
-                    if config_dict["accumulate_text_encoder_ema"]
-                    else text_encoder_state.params,
-                    vae_params=frozen_vae.params,
-                    output_dir=f"{config_dict['test_save_path']}-EMA",
-                )
-        except Exception as e:
-            print(
-                "failed to save model prior to training session! "
-                "please check your config or your code first"
-            )
-            print(f"reason: {e}")
-            sys.exit()
-
-        print("save function works as expected deleting the test model")
-        delete_file_or_folder(config_dict["test_save_path"])
-        delete_file_or_folder(f"{config_dict['test_save_path']}-EMA")
+        _run_save_probe(
+            config_dict, model_object_dict, tokenizer,
+            unet_state, text_encoder_state,
+            unet_ema_params, text_encoder_ema_params, frozen_vae,
+        )
 
         start = time.time()
 
@@ -303,46 +357,11 @@ def main(
                         f'{config_dict["master_seed"]}'
                     )
 
-        # per-chunk checkpoint with rotation
-        model_path_without_chunk_number = config_dict["model_path"].split("@")[0]
-        latest_model_path = (
-            f'{model_path_without_chunk_number}@{config_dict["chunk_steps"]}'
+        config_dict["model_path"] = _save_chunk_checkpoints(
+            config_dict, model_object_dict, tokenizer,
+            unet_state, text_encoder_state,
+            unet_ema_params, text_encoder_ema_params, frozen_vae,
         )
-        save_model(
-            model_object_dict=model_object_dict,
-            tokenizer_object=tokenizer,
-            unet_params=unet_state.params,
-            text_encoder_params=text_encoder_state.params,
-            vae_params=frozen_vae.params,
-            output_dir=latest_model_path,
-        )
-        delete_file_or_folder(
-            f"{model_path_without_chunk_number}"
-            f'@{config_dict["chunk_steps"] - config_dict["keep_trained_model_buffer"]}'
-        )
-
-        if config_dict["ema_rate"]:
-            latest_ema_model_path = (
-                f'{model_path_without_chunk_number}-EMA@{config_dict["chunk_steps"]}'
-            )
-            save_model(
-                model_object_dict=model_object_dict,
-                tokenizer_object=tokenizer,
-                unet_params=unet_ema_params
-                if config_dict["accumulate_unet_ema"]
-                else unet_state.params,
-                text_encoder_params=text_encoder_ema_params
-                if config_dict["accumulate_text_encoder_ema"]
-                else text_encoder_state.params,
-                vae_params=frozen_vae.params,
-                output_dir=latest_ema_model_path,
-            )
-            delete_file_or_folder(
-                f"{model_path_without_chunk_number}-EMA"
-                f'@{config_dict["chunk_steps"] - config_dict["keep_trained_model_buffer"]}'
-            )
-
-        config_dict["model_path"] = latest_model_path
         config_dict["chunk_number"] += 1
         config_dict["chunk_steps"] += 1
         save_dict_to_json(config_dict, config_dict_path)
