@@ -189,8 +189,16 @@ class DDPMScheduler(ConfigurableMixin):
             + current_sample_coeff * sample
         )
 
-        # variance noise, gated off at t == 0
-        noise = jax.random.normal(key, shape=model_output.shape, dtype=self.dtype)
+        # variance noise, gated off at t == 0. The reference folds the key
+        # once before drawing (``split(key, num=1)`` then normal with the
+        # batched key, scheduling_ddpm_flax.py:267-272 — a legacy-jax idiom);
+        # modern JAX rejects batched keys, so the equivalent single key
+        # ``split(key, 1)[0]`` is used: identical bits, same stream.
+        noise = jax.random.normal(
+            jax.random.split(key, num=1)[0],
+            shape=model_output.shape,
+            dtype=self.dtype,
+        )
         variance_noise = (
             self._get_variance(state, t, predicted_variance=predicted_variance) ** 0.5
         ) * noise

@@ -293,7 +293,7 @@ class CLIPTextModel(ConfigurableMixin):
         ids = jnp.zeros(
             (batch_size, self.text_config.max_position_embeddings), jnp.int32
         )
-        return self.module.init(rng, ids)["params"]
+        return jax.jit(self.module.init)(rng, ids)["params"]
 
     def __call__(
         self,
@@ -409,7 +409,7 @@ class CLIPTextModelWithProjection(ConfigurableMixin):
         ids = jnp.zeros(
             (batch_size, self.text_config.max_position_embeddings), jnp.int32
         )
-        return self.module.init(rng, ids)["params"]
+        return jax.jit(self.module.init)(rng, ids)["params"]
 
     def __call__(
         self,

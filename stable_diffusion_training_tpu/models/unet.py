@@ -15,6 +15,7 @@ built TPU-first:
 from typing import Optional, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..utils.configuration import ConfigurableMixin
@@ -391,7 +392,11 @@ class UNet2DConditionModel(ConfigurableMixin):
                 ),
                 "time_ids": jnp.zeros((batch_size, 6), self.dtype),
             }
-        return self.module.init(rng, sample, timesteps, context, added)["params"]
+        # jit the init: flax init otherwise dispatches each op eagerly, which
+        # is ~2x slower than one compiled program (worst on 1-core CPU CI)
+        return jax.jit(self.module.init)(rng, sample, timesteps, context, added)[
+            "params"
+        ]
 
     def apply(
         self,

@@ -367,9 +367,9 @@ class AutoencoderKL(ConfigurableMixin):
 
     def init(self, rng, batch_size: int = 1, resolution: int = 32):
         sample = jnp.zeros((batch_size, resolution, resolution, 3), self.dtype)
-        return self.module.init({"params": rng}, sample, jax.random.PRNGKey(0))[
-            "params"
-        ]
+        return jax.jit(self.module.init)(
+            {"params": rng}, sample, jax.random.PRNGKey(0)
+        )["params"]
 
     def _to_nhwc(self, x):
         return jnp.transpose(x, (0, 2, 3, 1)) if self.data_format == "NCHW" else x

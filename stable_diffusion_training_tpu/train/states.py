@@ -223,7 +223,12 @@ def create_lion_optimizer_states(
                 mask=decay_mask,
             )
         tx = optax.chain(optax.clip_by_global_norm(1), lion)
-        return train_state.TrainState.create(apply_fn=apply_fn, params=params, tx=tx)
+        # jit the optimizer init (it block-quantizes a zero momentum per leaf;
+        # eager per-op dispatch is the slow path, especially on 1-core CPU CI)
+        opt_state = jax.jit(tx.init)(params)
+        return train_state.TrainState(
+            step=0, apply_fn=apply_fn, params=params, tx=tx, opt_state=opt_state
+        )
 
     with jax.default_device(jax.devices("cpu")[0]):
         if train_unet:

@@ -1,0 +1,293 @@
+"""Element-for-element parity against the ACTUAL reference sources.
+
+These tests import the unmodified files at ``/root/reference`` (via the
+compatibility bridge in ``ref_compat.py``) and assert bitwise equality with
+this framework's implementations — converting BASELINE.md's fidelity bar from
+claimed to proven:
+
+- 8-bit Lion: quantizer round-trip, update chain, full ``lion_8bit`` optimizer
+  trajectory vs ``/root/reference/lion_quant.py:20-211``;
+- beta schedules incl. ``zero_snr_scaled_linear`` + ``rescale_betas`` vs
+  ``scheduling_utils_flax.py:222-313``;
+- ``add_noise`` / ``get_velocity`` vs ``scheduling_utils_flax.py:332-343``;
+- DDPM ``step`` trajectories (all prediction types, variance noise included)
+  vs ``scheduling_ddpm_flax.py:196-279``;
+- DDIM ``step`` trajectories (eta 0 and 0.5) vs
+  ``scheduling_ddim_flax.py:199-284``.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import ref_compat
+
+from stable_diffusion_training_tpu import diffusion
+from stable_diffusion_training_tpu.diffusion import common as our_common
+from stable_diffusion_training_tpu.optim import lion8bit as our_lion
+
+
+@pytest.fixture(scope="module")
+def ref_lion():
+    return ref_compat.load_reference_lion()
+
+
+@pytest.fixture(scope="module")
+def ref_sched():
+    return ref_compat.load_reference_schedulers()  # (utils, ddpm, ddim)
+
+
+def _tree_assert_equal(a, b, path=""):
+    la, ta = jax.tree_util.tree_flatten(a)
+    lb, tb = jax.tree_util.tree_flatten(b)
+    assert ta == tb, f"tree structure mismatch {path}: {ta} vs {tb}"
+    for i, (x, y) in enumerate(zip(la, lb)):
+        np.testing.assert_array_equal(
+            np.asarray(x), np.asarray(y), err_msg=f"leaf {i} {path}"
+        )
+
+
+# ---------------------------------------------------------------------------
+# 8-bit Lion
+# ---------------------------------------------------------------------------
+
+
+def _lion_params():
+    k = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(k, 3)
+    return {
+        "dense": {"kernel": jax.random.normal(k1, (8, 32)) * 0.02},
+        "bias": jax.random.normal(k2, (32,)) * 0.01,
+        "emb": {"table": jax.random.normal(k3, (16, 16)) * 0.1},
+    }
+
+
+def _lion_mask():
+    # quantize kernel + table, keep bias dense (mirrors the config exclusion
+    # lists, model_properties_example.json:26-35)
+    return {"dense": {"kernel": True}, "bias": False, "emb": {"table": True}}
+
+
+@pytest.mark.parametrize("block_size", [16, 64])
+def test_scale_by_lion_8bit_states_and_updates_match_reference(
+    ref_lion, block_size
+):
+    params = _lion_params()
+    mask = _lion_mask()
+    ref_tx = ref_lion.scale_by_lion_8bit(
+        block_size=block_size, excluded_layer_mask=mask
+    )
+    our_tx = our_lion.scale_by_lion_8bit(
+        block_size=block_size, excluded_layer_mask=mask, use_pallas=False
+    )
+
+    ref_state = ref_tx.init(params)
+    our_state = our_tx.init(params)
+    _tree_assert_equal(ref_state.mu_quant, our_state.mu_quant, "init mu")
+    np.testing.assert_array_equal(ref_state.count, our_state.count)
+
+    rng = jax.random.PRNGKey(42)
+    for step in range(4):
+        rng, gk = jax.random.split(rng)
+        grads = jax.tree_util.tree_map(
+            lambda p: jax.random.normal(gk, p.shape) * 0.05, params
+        )
+        ref_upd, ref_state = ref_tx.update(grads, ref_state)
+        our_upd, our_state = our_tx.update(grads, our_state)
+        _tree_assert_equal(ref_upd, our_upd, f"updates step {step}")
+        _tree_assert_equal(
+            ref_state.mu_quant, our_state.mu_quant, f"mu step {step}"
+        )
+        np.testing.assert_array_equal(ref_state.count, our_state.count)
+
+
+def test_lion_8bit_full_chain_parameter_trajectory_matches_reference(ref_lion):
+    import optax
+
+    params = _lion_params()
+    quant_mask = _lion_mask()
+    decay_mask = {"dense": {"kernel": True}, "bias": False, "emb": {"table": False}}
+    kwargs = dict(
+        learning_rate=optax.constant_schedule(1e-4 / 7),
+        b1=0.9,
+        b2=0.99,
+        weight_decay=1e-2 * 7,
+        mask=decay_mask,
+        excluded_layer_mask=quant_mask,
+        block_size=16,
+    )
+    ref_tx = ref_lion.lion_8bit(**kwargs)
+    our_tx = our_lion.lion_8bit(use_pallas=False, **kwargs)
+
+    ref_params, our_params = params, params
+    ref_state = ref_tx.init(ref_params)
+    our_state = our_tx.init(our_params)
+
+    rng = jax.random.PRNGKey(7)
+    for step in range(5):
+        rng, gk = jax.random.split(rng)
+        grads = jax.tree_util.tree_map(
+            lambda p: jax.random.normal(gk, p.shape) * 0.05, ref_params
+        )
+        ref_upd, ref_state = ref_tx.update(grads, ref_state, ref_params)
+        our_upd, our_state = our_tx.update(grads, our_state, our_params)
+        ref_params = optax.apply_updates(ref_params, ref_upd)
+        our_params = optax.apply_updates(our_params, our_upd)
+        _tree_assert_equal(ref_params, our_params, f"params step {step}")
+
+
+def test_lion_8bit_zero_block_guard_matches_reference(ref_lion):
+    # an all-zero block must quantize with the divide-by-zero guard engaged
+    params = {"w": jnp.zeros((2, 16))}
+    ref_tx = ref_lion.scale_by_lion_8bit(block_size=16, excluded_layer_mask={"w": True})
+    our_tx = our_lion.scale_by_lion_8bit(
+        block_size=16, excluded_layer_mask={"w": True}, use_pallas=False
+    )
+    ref_state = ref_tx.init(params)
+    our_state = our_tx.init(params)
+    grads = {"w": jnp.zeros((2, 16))}
+    ref_upd, ref_state = ref_tx.update(grads, ref_state)
+    our_upd, our_state = our_tx.update(grads, our_state)
+    _tree_assert_equal(ref_upd, our_upd)
+    _tree_assert_equal(ref_state.mu_quant, our_state.mu_quant)
+
+
+# ---------------------------------------------------------------------------
+# beta schedules / rescale_betas / common math
+# ---------------------------------------------------------------------------
+
+SCHEDULES = ["linear", "scaled_linear", "zero_snr_scaled_linear", "squaredcos_cap_v2"]
+
+
+@pytest.mark.parametrize("schedule", SCHEDULES)
+def test_common_state_betas_match_reference(ref_sched, schedule):
+    utils, ddpm, _ = ref_sched
+    kwargs = dict(
+        beta_start=0.00085,
+        beta_end=0.012,
+        beta_schedule=schedule,
+        num_train_timesteps=1000,
+    )
+    ref_state = ddpm.FlaxDDPMScheduler(**kwargs).create_state()
+    our_state = diffusion.DDPMScheduler(**kwargs).create_state()
+    np.testing.assert_array_equal(ref_state.common.betas, our_state.common.betas)
+    np.testing.assert_array_equal(ref_state.common.alphas, our_state.common.alphas)
+    np.testing.assert_array_equal(
+        ref_state.common.alphas_cumprod, our_state.common.alphas_cumprod
+    )
+
+
+def test_rescale_betas_matches_reference(ref_sched):
+    utils, _, _ = ref_sched
+    betas = jnp.linspace(0.00085**0.5, 0.012**0.5, 1000) ** 2
+    np.testing.assert_array_equal(
+        utils.rescale_betas(betas), our_common.rescale_zero_terminal_snr(betas)
+    )
+    # terminal SNR is exactly zero after the rescale
+    acp = jnp.cumprod(1 - our_common.rescale_zero_terminal_snr(betas))
+    assert float(acp[-1]) == 0.0
+
+
+def test_add_noise_get_velocity_match_reference(ref_sched):
+    utils, ddpm, _ = ref_sched
+    kwargs = dict(
+        beta_start=0.00085,
+        beta_end=0.012,
+        beta_schedule="zero_snr_scaled_linear",
+        num_train_timesteps=1000,
+        prediction_type="v_prediction",
+    )
+    ref = ddpm.FlaxDDPMScheduler(**kwargs)
+    ours = diffusion.DDPMScheduler(**kwargs)
+    ref_state, our_state = ref.create_state(), ours.create_state()
+
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    x0 = jax.random.normal(k1, (4, 4, 8, 8))
+    noise = jax.random.normal(k2, (4, 4, 8, 8))
+    t = jax.random.randint(k3, (4,), 0, 1000)
+
+    np.testing.assert_array_equal(
+        ref.add_noise(ref_state, x0, noise, t),
+        ours.add_noise(our_state, x0, noise, t),
+    )
+    np.testing.assert_array_equal(
+        ref.get_velocity(ref_state, x0, noise, t),
+        ours.get_velocity(our_state, x0, noise, t),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DDPM / DDIM step trajectories
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("prediction_type", ["epsilon", "v_prediction", "sample"])
+def test_ddpm_step_trajectory_matches_reference(ref_sched, prediction_type):
+    _, ddpm, _ = ref_sched
+    kwargs = dict(
+        beta_start=0.00085,
+        beta_end=0.012,
+        beta_schedule="scaled_linear",
+        num_train_timesteps=1000,
+        prediction_type=prediction_type,
+    )
+    ref = ddpm.FlaxDDPMScheduler(**kwargs)
+    ours = diffusion.DDPMScheduler(**kwargs)
+    ref_state = ref.set_timesteps(ref.create_state(), 10)
+    our_state = ours.set_timesteps(ours.create_state(), 10)
+    np.testing.assert_array_equal(ref_state.timesteps, our_state.timesteps)
+
+    rng = jax.random.PRNGKey(3)
+    sample_ref = sample_our = jax.random.normal(rng, (1, 4, 8, 8))
+    for t in np.asarray(ref_state.timesteps):
+        rng, model_key, step_key = jax.random.split(rng, 3)
+        model_output = jax.random.normal(model_key, sample_ref.shape) * 0.1
+        with ref_compat.legacy_batched_normal():
+            sample_ref = ref.step(
+                ref_state, model_output, int(t), sample_ref, key=step_key
+            ).prev_sample
+        sample_our = ours.step(
+            our_state, model_output, int(t), sample_our, key=step_key
+        ).prev_sample
+        np.testing.assert_array_equal(
+            np.asarray(sample_ref), np.asarray(sample_our), err_msg=f"t={t}"
+        )
+
+
+@pytest.mark.parametrize("prediction_type", ["epsilon", "v_prediction"])
+@pytest.mark.parametrize("eta", [0.0, 0.5])
+def test_ddim_step_trajectory_matches_reference(ref_sched, prediction_type, eta):
+    _, _, ddim = ref_sched
+    kwargs = dict(
+        beta_start=0.00085,
+        beta_end=0.012,
+        beta_schedule="scaled_linear",
+        num_train_timesteps=1000,
+        prediction_type=prediction_type,
+        set_alpha_to_one=False,
+        steps_offset=1,
+    )
+    ref = ddim.FlaxDDIMScheduler(**kwargs)
+    ours = diffusion.DDIMScheduler(**kwargs)
+    ref_state = ref.set_timesteps(ref.create_state(), 10)
+    our_state = ours.set_timesteps(ours.create_state(), 10)
+    np.testing.assert_array_equal(ref_state.timesteps, our_state.timesteps)
+    np.testing.assert_array_equal(
+        ref_state.final_alpha_cumprod, our_state.final_alpha_cumprod
+    )
+
+    rng = jax.random.PRNGKey(5)
+    sample_ref = sample_our = jax.random.normal(rng, (1, 4, 8, 8))
+    for t in np.asarray(ref_state.timesteps):
+        rng, model_key = jax.random.split(rng)
+        model_output = jax.random.normal(model_key, sample_ref.shape) * 0.1
+        sample_ref = ref.step(
+            ref_state, model_output, int(t), sample_ref, eta=eta
+        ).prev_sample
+        sample_our = ours.step(
+            our_state, model_output, int(t), sample_our, eta=eta
+        ).prev_sample
+        np.testing.assert_array_equal(
+            np.asarray(sample_ref), np.asarray(sample_our), err_msg=f"t={t}"
+        )
