@@ -1,18 +1,23 @@
 """Benchmark: SD1.5 fused train step (fwd+bwd+8bit-Lion+EMA), bf16.
 
 Prints ONE JSON line:
-``{"metric": ..., "value": N, "unit": ..., "vs_baseline": N}``
+``{"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}``
 
 Primary metric (BASELINE.md): training images/sec/chip, SD1.5 UNet at 512².
 The reference publishes no numbers (``BASELINE.json`` ``published: {}``), so
-``vs_baseline`` is reported against the north-star anchor of 3x a
-measured-in-round-1 reference-equivalent step; until the reference itself is
-benched on this chip, vs_baseline compares against our own first recorded
-value (1.0 on the first run, ratio thereafter via BENCH_BASELINE env or the
-recorded constant below).
+``vs_baseline`` compares against our own first recorded round-1 value
+(override with BENCH_BASELINE).
+
+Also reported:
+- ``p50_step_time_s``: true median over timed groups of chained steps (keeps
+  the async-dispatch pipelining of real training, unlike per-step syncs);
+- ``mfu``: model FLOPs utilization — XLA's own cost analysis of the compiled
+  step (covers VAE+CLIP+UNet fwd/bwd + optimizer) divided by wall-clock x
+  chip peak (BASELINE.md north star is >=95% MXU utilization on the UNet).
 
 Env overrides: BENCH_BATCH (default 8), BENCH_RES (default 512),
-BENCH_STEPS (default 10), BENCH_FAMILY (default sd15).
+BENCH_STEPS (default 10), BENCH_FAMILY (default sd15), BENCH_BASELINE,
+BENCH_PEAK_TFLOPS (chip peak override, bf16 TFLOP/s).
 """
 
 import json
@@ -26,6 +31,27 @@ import numpy as np
 # round-1 run on the target chip (v5e, SD1.5 512² batch 8 bf16: p50 717ms);
 # later rounds compare against it. Override with BENCH_BASELINE.
 RECORDED_BASELINE = float(os.environ.get("BENCH_BASELINE", "0")) or 11.2
+
+# bf16 peak TFLOP/s per chip by device kind substring
+_PEAK_TFLOPS = (
+    ("v6", 918.0),  # Trillium
+    ("v5p", 459.0),
+    ("v5", 197.0),  # v5e / "TPU v5 lite"
+    ("v4", 275.0),
+    ("v3", 123.0),
+    ("v2", 45.0),
+)
+
+
+def _chip_peak_flops() -> float:
+    override = float(os.environ.get("BENCH_PEAK_TFLOPS", "0"))
+    if override:
+        return override * 1e12
+    kind = jax.devices()[0].device_kind.lower()
+    for key, tflops in _PEAK_TFLOPS:
+        if key in kind:
+            return tflops * 1e12
+    return 0.0
 
 
 def main():
@@ -93,7 +119,8 @@ def main():
 
     step = jax.jit(
         train_step,
-        donate_argnums=(0, 1),
+        # donate all four state slots (EMA included) as training does
+        donate_argnums=(0, 1, 2, 3),
         static_argnames=(
             "strip_bos_eos_token",
             "offset_noise_magnitude",
@@ -102,23 +129,33 @@ def main():
             "ema_rate",
         ),
     )
+    static_kwargs = dict(
+        strip_bos_eos_token=True,
+        offset_noise_magnitude=0.0,
+        min_snr_gamma_magnitude=0.0,
+        perturbation_noise_magnitude=0.0,
+        ema_rate=0.0,
+    )
 
     def run_one(unet_state, te_state, rng):
         return step(
-            unet_state,
-            te_state,
-            None,
-            None,
-            b,
-            rng,
-            frozen_vae,
-            frozen_sched,
-            strip_bos_eos_token=True,
-            offset_noise_magnitude=0.0,
-            min_snr_gamma_magnitude=0.0,
-            perturbation_noise_magnitude=0.0,
-            ema_rate=0.0,
+            unet_state, te_state, None, None, b, rng,
+            frozen_vae, frozen_sched, **static_kwargs,
         )
+
+    # XLA's own FLOP count for the whole compiled step (fwd+bwd+optimizer)
+    flops_per_step = None
+    try:
+        lowered = step.lower(
+            unet_state, te_state, None, None, b, jax.random.PRNGKey(0),
+            frozen_vae, frozen_sched, **static_kwargs,
+        )
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops_per_step = float(cost.get("flops", 0.0)) or None
+    except Exception:
+        pass
 
     rng = jax.random.PRNGKey(0)
     # warmup / compile; float() forces a full device->host sync (plain
@@ -128,19 +165,32 @@ def main():
         unet_state, te_state, rng = out[0], out[1], out[5]
         _ = float(out[4]["loss"])
 
-    # steady-state: time N chained steps with one final value sync, so the
-    # async dispatch pipeline matches real training (no per-step host sync)
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        out = run_one(unet_state, te_state, rng)
-        unet_state, te_state, rng = out[0], out[1], out[5]
-    final_loss = float(out[4]["loss"])
-    p50 = (time.perf_counter() - t0) / steps
+    # steady-state: time GROUPS of chained steps (async dispatch preserved,
+    # as in real training) and take a true median over group means
+    group = max(2, steps // 5)
+    n_groups = max(5, steps // group)
+    samples = []
+    for _ in range(n_groups):
+        t0 = time.perf_counter()
+        for _ in range(group):
+            out = run_one(unet_state, te_state, rng)
+            unet_state, te_state, rng = out[0], out[1], out[5]
+        final_loss = float(out[4]["loss"])  # full sync
+        samples.append((time.perf_counter() - t0) / group)
+
+    p50 = float(np.median(samples))
+    mean = float(np.mean(samples))
     n_chips = jax.device_count()
     images_per_sec_per_chip = batch / p50 / n_chips
     vs_baseline = (
         images_per_sec_per_chip / RECORDED_BASELINE if RECORDED_BASELINE else 1.0
     )
+
+    peak = _chip_peak_flops()
+    mfu = None
+    if flops_per_step and peak:
+        mfu = round(flops_per_step / (p50 * peak * n_chips), 4)
+
     print(
         json.dumps(
             {
@@ -149,6 +199,10 @@ def main():
                 "unit": "images/sec/chip",
                 "vs_baseline": round(vs_baseline, 4),
                 "p50_step_time_s": round(p50, 5),
+                "mean_step_time_s": round(mean, 5),
+                "mfu": mfu,
+                "flops_per_step": flops_per_step,
+                "chip_peak_flops": peak or None,
                 "batch_size": batch,
                 "n_chips": n_chips,
                 "loss": final_loss,

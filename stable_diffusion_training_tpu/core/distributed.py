@@ -63,3 +63,49 @@ def process_local_batch_slice(global_batch_size: int) -> slice:
     per_host = global_batch_size // jax.process_count()
     start = jax.process_index() * per_host
     return slice(start, start + per_host)
+
+
+def slice_batch_for_process(batch: dict) -> dict:
+    """Cut a global batch down to this host's shard.
+
+    Every leaf's leading dim is batch-derived (``pixel_values`` B;
+    ids/mask B*concat), so the proportional slice is correct for all keys.
+    No-op on single process."""
+    n = jax.process_count()
+    if n == 1:
+        return batch
+
+    def _slice(leaf):
+        per = leaf.shape[0] // n
+        start = jax.process_index() * per
+        return leaf[start : start + per]
+
+    return jax.tree_util.tree_map(_slice, batch)
+
+
+def put_global_batch(batch: dict, mesh: Mesh, axis: str = "data_parallel"):
+    """device_put a PER-PROCESS batch as GLOBAL arrays sharded on the data
+    axis.
+
+    Single process: a plain sharded ``device_put`` (the reference layout).
+    Multi-process: each host contributes only its local shard and
+    ``jax.make_array_from_process_local_data`` assembles the global array —
+    the per-host loader glue the reference lacks (it is single-host by
+    construction, SURVEY.md §5.8)."""
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    n = jax.process_count()
+
+    def _put(leaf):
+        leaf = np.asarray(leaf)
+        spec = PartitionSpec(axis, *([None] * (leaf.ndim - 1)))
+        sharding = NamedSharding(mesh, spec)
+        if n == 1:
+            return jax.device_put(leaf, sharding)
+        global_shape = (leaf.shape[0] * n, *leaf.shape[1:])
+        return jax.make_array_from_process_local_data(
+            sharding, leaf, global_shape
+        )
+
+    return jax.tree_util.tree_map(_put, batch)

@@ -22,6 +22,14 @@ def calculate_resolution_array(
     min(dim) >= bucket_lower_bound_res rounded down to ``rounding``.
     """
     centroid = int(max_res_area ** (1 / 2))
+    if centroid < rounding or bucket_lower_bound_res < rounding:
+        # the grid is `rounding`-aligned; smaller areas degenerate to
+        # zero-width buckets (the reference silently produces garbage here —
+        # fail loudly instead)
+        raise ValueError(
+            f"max_res_area**0.5 ({centroid}) and bucket_lower_bound_res "
+            f"({bucket_lower_bound_res}) must both be >= rounding ({rounding})"
+        )
 
     widths = np.arange(
         bucket_lower_bound_res // rounding * rounding,

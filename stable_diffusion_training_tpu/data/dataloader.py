@@ -134,6 +134,8 @@ class DataLoader:
         context_concatenation_multiplier: int = 3,
         context_window: int = 77,
         queue_max_size: int = 32,
+        process_index: int = 0,
+        process_count: int = 1,
     ):
         self.tokenizer = tokenizer_obj
         self.config = read_json_file(config) if isinstance(config, str) else dict(config)
@@ -148,14 +150,26 @@ class DataLoader:
         self.seed = seed
         self.concat_count = context_concatenation_multiplier
         self.context_window = context_window
+        # per-host data sharding for pods (SURVEY.md §5.8): every process
+        # builds the SAME batch plan (same seed -> same shapes/sequence, so
+        # all hosts dispatch the same compiled programs in lockstep) but
+        # decodes only its slice; the trainer assembles global arrays via
+        # core.distributed.put_global_batch
+        assert training_batch_size % process_count == 0, (
+            training_batch_size, process_count,
+        )
+        self.process_index = process_index
+        self.process_count = process_count
+        self.local_batch_size = training_batch_size // process_count
 
         self._print_debug = True
         self._bulk_batch_count = 0
         self._first_batch_count = 0
 
+        rounding = int(self.config.get("bucket_rounding", 64))
         self._resolutions = np.concatenate(
             [
-                calculate_resolution_array(area, lower, 64)
+                calculate_resolution_array(area, lower, rounding)
                 for area, lower in zip(self.max_res_areas, self.bucket_lower_bounds)
             ]
         )
@@ -181,8 +195,27 @@ class DataLoader:
     def delete_prev_chunks(self, prev_chunk: int) -> None:
         delete_file_or_folder(self._chunk_dir(prev_chunk))
 
+    @staticmethod
+    def _safe_extract_zip(archive_path: str, dest: str) -> None:
+        """Extract refusing absolute / parent-escaping member paths
+        (path-traversal guard on downloaded archives)."""
+        with zipfile.ZipFile(archive_path) as zf:
+            dest_real = os.path.realpath(dest)
+            for member in zf.namelist():
+                resolved = os.path.realpath(os.path.join(dest, member))
+                if not resolved.startswith(dest_real + os.sep) and resolved != dest_real:
+                    raise ValueError(
+                        f"archive member escapes extraction dir: {member!r}"
+                    )
+            zf.extractall(dest)
+
     def _fetch_one_chunk(self, chunk: int) -> None:
-        """Download + extract every repo's archive for ``chunk``."""
+        """Download + extract every repo's archive for ``chunk``.
+
+        A repo whose chunk yields NO file at all (neither archive nor csv) is
+        reported loudly — a misconfigured repo must not look like an empty
+        chunk (each per-extension miss is expected; all three missing is not).
+        """
         target = self._chunk_dir(chunk)
         if os.path.isdir(target) and os.listdir(target):
             return  # already fetched
@@ -198,6 +231,7 @@ class DataLoader:
             prefix = repo_cfg.get("prefix", "")
             folder = repo_cfg.get("folder_path_in_repo", "")
             file_index = chunk % int(repo_cfg.get("total_file_count", 1))
+            fetched, errors = [], []
             for ext in (".zip", ".tar", ".csv"):
                 fname = f"{prefix}{file_index}{ext}"
                 rel = os.path.join(folder, fname) if folder else fname
@@ -208,21 +242,31 @@ class DataLoader:
                         repo_type="dataset",
                         token=token,
                     )
-                except Exception:
+                except Exception as e:  # missing ext is expected; record it
+                    errors.append(f"{rel}: {type(e).__name__}: {e}")
                     continue
                 dest = os.path.join(target, repo_key)
                 os.makedirs(dest, exist_ok=True)
                 if ext == ".zip":
-                    with zipfile.ZipFile(local) as zf:
-                        zf.extractall(dest)
+                    self._safe_extract_zip(local, dest)
                 elif ext == ".tar":
                     with tarfile.open(local) as tf:
-                        tf.extractall(dest)
+                        # "data" filter rejects absolute paths, .. escapes,
+                        # device nodes and other path-traversal vectors
+                        tf.extractall(dest, filter="data")
                 else:
                     import shutil
 
                     shutil.copy(local, os.path.join(dest, fname))
-            self._debug(f"fetched chunk {chunk} for {repo_key}")
+                fetched.append(fname)
+            if fetched:
+                self._debug(f"fetched chunk {chunk} for {repo_key}: {fetched}")
+            else:
+                print(
+                    f"[dataloader] WARNING: no chunk file found for repo "
+                    f"{repo_key!r} ({repo_id}) chunk {chunk}; tried: "
+                    + "; ".join(errors)
+                )
 
     def grab_and_prefetch_chunk(self, numb_of_prefetched_batch: int = 1) -> None:
         """Fetch the current chunk synchronously; prefetch the next N async."""
@@ -349,8 +393,11 @@ class DataLoader:
     def _build_batch(self, item: dict, rng) -> Optional[dict]:
         df = self._dataframe
         wh = item["resolution"]
+        # decode only this host's slice of the global batch
+        lo = self.process_index * self.local_batch_size
+        local_indices = item["indices"][lo : lo + self.local_batch_size]
         pixels, captions = [], []
-        for idx in item["indices"]:
+        for idx in local_indices:
             row = df.iloc[idx]
             arr = load_and_bucket_image(row["filepath"], wh)
             if arr is None:
@@ -366,7 +413,7 @@ class DataLoader:
                 )
             )
             pixels.append(arr)
-        if len(pixels) < self.batch_size:
+        if len(pixels) < self.local_batch_size:
             return None  # decode failures broke the static batch shape
         toks = tokenize_concat_windows(
             self.tokenizer, captions, self.context_window, self.concat_count

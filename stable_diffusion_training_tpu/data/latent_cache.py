@@ -39,23 +39,77 @@ def encode_batch_to_moments(vae, vae_params, pixel_values_nchw) -> np.ndarray:
     return np.asarray(_encode(jnp.asarray(pixel_values_nchw)))
 
 
+def sdxl_time_ids(
+    batch_size: int,
+    original_size,
+    crop_coords,
+    target_size,
+) -> np.ndarray:
+    """SDXL size/crop micro-conditioning ids ``(B, 6)``:
+    (orig_h, orig_w, crop_top, crop_left, target_h, target_w)."""
+    row = np.array(
+        [[*original_size, *crop_coords, *target_size]], dtype=np.float32
+    )
+    return np.broadcast_to(row, (batch_size, 6)).copy()
+
+
+def compute_pooled_text_embeds(
+    text_encoder_2, te2_params, input_ids, context_window: int = 77
+) -> np.ndarray:
+    """Pooled/projected embeds from the frozen second text encoder (SDXL's
+    ``text_embeds`` micro-conditioning). The loader's ids arrive as
+    ``(B*concat, win)`` or ``(B, concat*win)``; SDXL pools from the FIRST
+    77-token window only (both SDXL tokenizers share the CLIP BPE vocab)."""
+    ids = np.asarray(input_ids)
+    if ids.ndim == 2 and ids.shape[1] > context_window:
+        ids = ids.reshape(-1, context_window)
+    first = ids.reshape(-1, ids.shape[-1])
+
+    @jax.jit
+    def _pool(window_ids):
+        return text_encoder_2(window_ids, params=te2_params).text_embeds
+
+    return np.asarray(_pool(jnp.asarray(first, jnp.int32)))
+
+
 def cache_batches_to_dir(
     batches: Iterable[Dict[str, np.ndarray]],
     vae,
     vae_params,
     cache_dir: str,
+    text_encoder_2=None,
+    te2_params=None,
+    context_window: int = 77,
 ) -> List[str]:
-    """Offline pass: encode every batch's pixels, write npz shards."""
+    """Offline pass: encode every batch's pixels, write npz shards.
+
+    With ``text_encoder_2`` given, each shard also carries the SDXL
+    micro-conditioning (``pooled_text_embeds`` from the frozen second tower +
+    size/crop ``time_ids``), making BASELINE config 5 runnable straight from
+    the trainer (the train step consumes these keys,
+    ``train/train_step.py``)."""
     os.makedirs(cache_dir, exist_ok=True)
     paths = []
     for i, batch in enumerate(batches):
         moments = encode_batch_to_moments(vae, vae_params, batch["pixel_values"])
+        extras = {}
+        if text_encoder_2 is not None:
+            b, _, h, w = batch["pixel_values"].shape
+            # first 77-token window per sample is the pooled source
+            first_windows = np.asarray(batch["input_ids"]).reshape(
+                b, -1, context_window
+            )[:, 0, :]
+            extras["pooled_text_embeds"] = compute_pooled_text_embeds(
+                text_encoder_2, te2_params, first_windows, context_window
+            )
+            extras["time_ids"] = sdxl_time_ids(b, (h, w), (0, 0), (h, w))
         path = os.path.join(cache_dir, f"latents_{i:06d}.npz")
         np.savez(
             path,
             latent_moments=moments,
             input_ids=batch["input_ids"],
             attention_mask=batch["attention_mask"],
+            **extras,
         )
         paths.append(path)
     return paths
@@ -107,9 +161,12 @@ def precompute_latent_cache(
     vae,
     vae_params,
     cache_dir: str,
+    text_encoder_2=None,
+    te2_params=None,
+    context_window: int = 77,
 ) -> CachedLatentLoader:
-    """Drain a pixel loader through the VAE into a cache; return the cached
-    loader."""
+    """Drain a pixel loader through the VAE (and optionally the frozen SDXL
+    second text encoder) into a cache; return the cached loader."""
 
     def _batches():
         pixel_loader.dispatch_worker()
@@ -121,5 +178,13 @@ def precompute_latent_cache(
                 continue
             yield b
 
-    cache_batches_to_dir(_batches(), vae, vae_params, cache_dir)
+    cache_batches_to_dir(
+        _batches(),
+        vae,
+        vae_params,
+        cache_dir,
+        text_encoder_2=text_encoder_2,
+        te2_params=te2_params,
+        context_window=context_window,
+    )
     return CachedLatentLoader(cache_dir)

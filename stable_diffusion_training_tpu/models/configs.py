@@ -146,6 +146,23 @@ TINY_VAE: Dict[str, Any] = dict(
     scaling_factor=0.18215,
 )
 
+TINY_SDXL_UNET: Dict[str, Any] = dict(  # SDXL shape (text_time micro-cond)
+    sample_size=8,
+    in_channels=4,
+    out_channels=4,
+    down_block_types=("DownBlock2D", "CrossAttnDownBlock2D"),
+    up_block_types=("CrossAttnUpBlock2D", "UpBlock2D"),
+    block_out_channels=(32, 64),
+    layers_per_block=1,
+    transformer_layers_per_block=(1, 2),
+    attention_head_dim=(2, 4),
+    cross_attention_dim=32,
+    use_linear_projection=True,
+    addition_embed_type="text_time",
+    addition_time_embed_dim=8,
+    projection_class_embeddings_input_dim=8 * 6 + 16,  # 6 time_ids + pooled 16
+)
+
 TINY_CLIP: Dict[str, Any] = dict(
     vocab_size=1000,
     hidden_size=32,
@@ -155,6 +172,8 @@ TINY_CLIP: Dict[str, Any] = dict(
     max_position_embeddings=77,
     hidden_act="quick_gelu",
 )
+
+TINY_CLIP_PROJ: Dict[str, Any] = dict(TINY_CLIP, projection_dim=16)
 
 MODEL_FAMILIES = {
     "sd15": dict(unet=SD15_UNET, vae=SD_VAE, text_encoder=CLIP_VIT_L),
@@ -166,4 +185,10 @@ MODEL_FAMILIES = {
         text_encoder_2=OPEN_CLIP_VIT_BIGG,
     ),
     "tiny": dict(unet=TINY_UNET, vae=TINY_VAE, text_encoder=TINY_CLIP),
+    "tiny_sdxl": dict(
+        unet=TINY_SDXL_UNET,
+        vae=TINY_VAE,
+        text_encoder=TINY_CLIP,
+        text_encoder_2=TINY_CLIP_PROJ,
+    ),
 }

@@ -4,9 +4,11 @@ One pass over the int8 momentum blocks: dequant -> lion update direction ->
 new momentum -> blockwise requant (absmax scales), emitting the sign-update,
 new codes, and new scales together — the north-star mapping of the
 reference's tree of gather/scatter ops (``/root/reference/lion_quant.py``,
-SURVEY.md §2.5). Numerics are identical to ``optim.lion8bit``'s jnp
-implementation (same 5th-power compander and zero-crossing offset), verified
-by parity tests.
+SURVEY.md §2.5). Numerics: same 5th-power compander and zero-crossing offset
+as ``optim.lion8bit``'s jnp path; the kernel dequantizes and accumulates in
+f32 while the jnp path uses ``mu_scale_dtype``, so bitwise equality holds for
+the (default, and only config-used) f32 scale dtype — verified by parity
+tests. Non-f32 ``mu_scale_dtype`` would differ in the low bits.
 
 Layout: a flat parameter of N elements with quantization block size ``bs``
 is viewed as ``(N/bs, bs)`` blocks. The kernel tiles rows of blocks; the last

@@ -39,6 +39,7 @@ def initialize_compilation_cache(path: str) -> None:
 
 def all_unique_resolutions(training_config: TrainingConfig) -> np.ndarray:
     buckets = []
+    rounding = getattr(training_config, "bucket_rounding", 64)
     for area_root, min_axis in zip(
         training_config.image_area_root, training_config.minimum_axis_length
     ):
@@ -46,10 +47,21 @@ def all_unique_resolutions(training_config: TrainingConfig) -> np.ndarray:
             calculate_resolution_array(
                 max_res_area=area_root**2,
                 bucket_lower_bound_res=min_axis,
-                rounding=64,
+                rounding=rounding,
             )
         )
-    return np.concatenate(buckets)
+    # multi-tier configs can repeat shapes across tiers; each unique shape
+    # needs exactly one compiled program
+    return np.unique(np.concatenate(buckets), axis=0)
+
+
+def batch_dispatch_key(batch: Dict[str, Any]) -> tuple:
+    """Shape key used to pick the compiled program for a batch: the
+    ``pixel_values`` shape (reference ``training.py:221``), or the
+    ``latent_moments`` shape on the offline-latent-cache path."""
+    if "pixel_values" in batch:
+        return tuple(batch["pixel_values"].shape)
+    return tuple(batch["latent_moments"].shape)
 
 
 def dp_compile_all_unique_resolution(
@@ -65,10 +77,10 @@ def dp_compile_all_unique_resolution(
     """Compile ``train_step`` for every bucket; returns
     ``{pixel_values_shape: Compiled}``."""
     mesh = mesh or mesh_lib.get_default_mesh()
-    if (
-        jax.devices()[0].platform == "tpu"
-        and training_config.keep_compiled_fn_in_cache
-    ):
+    if training_config.keep_compiled_fn_in_cache:
+        # reference gates this on TPU (training_utils.py:775-776); the
+        # persistent cache also works for the CPU backend, so enable it
+        # everywhere — CI re-runs then skip recompiles too
         initialize_compilation_cache(training_config.compilation_cache_path)
 
     all_possible_resolution = all_unique_resolutions(training_config)
@@ -105,37 +117,65 @@ def dp_compile_all_unique_resolution(
     vae_sh = replicated(frozen_vae)
     sched_sh = replicated(frozen_schedulers)
 
+    # geometry for latent-cache / SDXL dummy batches, read off the placed
+    # model objects (frozen VAE pytree carries the model; the UNet TrainState
+    # apply_fn is a bound method of the UNet model)
+    vae_model = frozen_vae.call
+    vae_factor = 2 ** (len(vae_model.config.block_out_channels) - 1)
+    latent_channels = vae_model.config.latent_channels
+    unet_model = getattr(unet_state.apply_fn, "__self__", None)
+
     def _create_lowered_hlo(bucket_resolution: np.ndarray):
         dummy_rngs = jax.random.PRNGKey(2)
         with jax.default_device(jax.devices("cpu")[0]):
-            batch = {
-                "pixel_values": jnp.zeros(
-                    shape=(
-                        training_config.batch_size,
-                        3,
-                        int(bucket_resolution[0]),
-                        int(bucket_resolution[1]),
+            if training_config.use_latent_cache:
+                # the loader serves VAE posterior moments (2x latent chans)
+                # at latent resolution instead of pixels
+                batch = {
+                    "latent_moments": jnp.zeros(
+                        shape=(
+                            training_config.batch_size,
+                            2 * latent_channels,
+                            int(bucket_resolution[0]) // vae_factor,
+                            int(bucket_resolution[1]) // vae_factor,
+                        ),
+                        dtype=jnp.float32,
                     ),
-                    dtype=jnp.float32,
-                ),
-                "input_ids": jnp.zeros(
-                    shape=(
-                        training_config.batch_size
-                        * training_config.context_window_concatenation_count,
-                        training_config.text_encoder_context_window,
+                }
+            else:
+                batch = {
+                    "pixel_values": jnp.zeros(
+                        shape=(
+                            training_config.batch_size,
+                            3,
+                            int(bucket_resolution[0]),
+                            int(bucket_resolution[1]),
+                        ),
+                        dtype=jnp.float32,
                     ),
-                    dtype=jnp.int32,
+                }
+            batch["input_ids"] = jnp.zeros(
+                shape=(
+                    training_config.batch_size
+                    * training_config.context_window_concatenation_count,
+                    training_config.text_encoder_context_window,
                 ),
-                "attention_mask": jnp.zeros(
-                    shape=(
-                        training_config.batch_size
-                        * training_config.context_window_concatenation_count,
-                        training_config.text_encoder_context_window,
-                    ),
-                    dtype=jnp.int32,
-                ),
-            }
-        image_shape = batch["pixel_values"].shape
+                dtype=jnp.int32,
+            )
+            batch["attention_mask"] = jnp.zeros_like(batch["input_ids"])
+            if training_config.sdxl_micro_conditioning:
+                cfg = unet_model.config
+                pooled_dim = (
+                    cfg.projection_class_embeddings_input_dim
+                    - 6 * cfg.addition_time_embed_dim
+                )
+                batch["pooled_text_embeds"] = jnp.zeros(
+                    (training_config.batch_size, pooled_dim), jnp.float32
+                )
+                batch["time_ids"] = jnp.zeros(
+                    (training_config.batch_size, 6), jnp.float32
+                )
+        image_shape = batch_dispatch_key(batch)
         batch = jax.tree_util.tree_map(
             lambda leaf: jax.device_put(leaf, device=batch_spec), batch
         )

@@ -64,6 +64,13 @@ class TrainingConfig:
     attention_backend: str = "auto"  # "auto" | "flash" | "xla"
     seed_init: int = 0  # rng for fresh-family init
     grad_accumulation_steps: int = 1  # micro-batch accumulation (1 = off)
+    use_latent_cache: bool = False  # batches carry latent_moments, VAE skipped
+    sdxl_micro_conditioning: bool = False  # batches carry pooled embeds+time_ids
+    # bucket grid step. 64 = the reference grid (training_utils.py:134-174);
+    # raising it (e.g. 128) quarters the number of aspect-ratio buckets and
+    # therefore the number of AOT-compiled XLA programs, at slightly coarser
+    # aspect fitting — the compile-count lever for large multi-tier configs
+    bucket_rounding: int = 64
 
     def replace(self, **kwargs) -> "TrainingConfig":
         return dataclasses.replace(self, **kwargs)

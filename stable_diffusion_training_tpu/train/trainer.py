@@ -28,14 +28,19 @@ import time
 from typing import Any, Optional
 
 import jax
-from jax.sharding import NamedSharding, PartitionSpec
 from tqdm.auto import tqdm
 
 from ..utils.json_io import delete_file_or_folder, read_json_file, save_dict_to_json
-from .aot import dp_compile_all_unique_resolution
-from .checkpoint import save_model
+from .aot import batch_dispatch_key, dp_compile_all_unique_resolution
+from .checkpoint import restore_train_state, save_model, save_train_state
 from .config import training_config_from_dict
 from .states import on_device_model_training_state
+
+# subfolder inside each diffusers-format chunk checkpoint that carries the
+# full training state (optimizer momenta, EMA, RNG) — the piece the reference
+# never saved, so every resume silently reset them (SURVEY.md §5.4,
+# /root/reference/training.py:301-315)
+TRAIN_STATE_SUBDIR = "train_state"
 
 
 def load_run_config(config_dict_path: str):
@@ -82,8 +87,10 @@ def _prefetch_to_device(dataloader, total: int, context_window: int, mesh):
 
     Yields the same (batch | None | 'end_of_batch') stream as
     ``grab_next_batch`` with ids/mask already reshaped to the context window.
+    Loaders serve PER-PROCESS batches; ``put_global_batch`` assembles global
+    sharded arrays (multi-host pods feed only their own shard — SURVEY §5.8).
     """
-    sharding = NamedSharding(mesh, PartitionSpec("data_parallel"))
+    from ..core.distributed import put_global_batch
 
     def _grab():
         b = dataloader.grab_next_batch()
@@ -91,9 +98,7 @@ def _prefetch_to_device(dataloader, total: int, context_window: int, mesh):
             return b
         b["input_ids"] = b["input_ids"].reshape(-1, context_window)
         b["attention_mask"] = b["attention_mask"].reshape(-1, context_window)
-        return jax.tree_util.tree_map(
-            lambda leaf: jax.device_put(leaf, sharding), b
-        )
+        return put_global_batch(b, mesh)
 
     pending = _grab()
     for i in range(total):
@@ -152,7 +157,7 @@ def _run_save_probe(
 def _save_chunk_checkpoints(
     config_dict, model_object_dict, tokenizer,
     unet_state, text_encoder_state, unet_ema_params, text_encoder_ema_params,
-    frozen_vae,
+    frozen_vae, train_rngs=None,
 ) -> str:
     """Per-chunk checkpoint to {base}@{chunk_steps} (+-EMA) with rotation
     deleting @{chunk_steps - keep_trained_model_buffer}
@@ -186,7 +191,69 @@ def _save_chunk_checkpoints(
             output_dir=f"{base}-EMA@{steps}",
         )
         delete_file_or_folder(f"{base}-EMA@{steps - keep}")
+
+    # full training state (optimizer/EMA/RNG) rides inside the checkpoint
+    # directory so rotation cleans it up with the chunk; diffusers loaders
+    # ignore the extra subfolder
+    if train_rngs is not None and config_dict.get("full_state_checkpoint", True):
+        save_train_state(
+            os.path.join(latest_model_path, TRAIN_STATE_SUBDIR),
+            unet_state=unet_state,
+            text_encoder_state=text_encoder_state,
+            unet_ema_params=unet_ema_params,
+            text_encoder_ema_params=text_encoder_ema_params,
+            train_rng=train_rngs,
+            step_metadata={
+                "chunk_steps": steps,
+                "chunk_number": config_dict["chunk_number"],
+                "master_seed": config_dict["master_seed"],
+            },
+        )
     return latest_model_path
+
+
+def _maybe_restore_full_state(
+    config_dict,
+    unet_state,
+    text_encoder_state,
+    unet_ema_params,
+    text_encoder_ema_params,
+    train_rngs,
+):
+    """Resume optimizer momenta (incl. quantized blocks), EMA buffers, and the
+    RNG from the checkpoint's ``train_state`` subfolder when present —
+    completing the reference's JSON-path resume, which only reloaded params."""
+    state_dir = os.path.join(config_dict["model_path"], TRAIN_STATE_SUBDIR)
+    if not (
+        config_dict.get("full_state_checkpoint", True) and os.path.isdir(state_dir)
+    ):
+        return (
+            unet_state,
+            text_encoder_state,
+            unet_ema_params,
+            text_encoder_ema_params,
+            train_rngs,
+        )
+    template = {
+        "unet_state": unet_state,
+        "text_encoder_state": text_encoder_state,
+        "unet_ema_params": unet_ema_params if unet_ema_params is not None else {},
+        "text_encoder_ema_params": (
+            text_encoder_ema_params if text_encoder_ema_params is not None else {}
+        ),
+        "train_rng": train_rngs,
+    }
+    restored = restore_train_state(state_dir, template)
+    print(f"restored full training state (optimizer/EMA/RNG) from {state_dir}")
+    return (
+        restored["unet_state"],
+        restored["text_encoder_state"],
+        restored["unet_ema_params"] if unet_ema_params is not None else None,
+        restored["text_encoder_ema_params"]
+        if text_encoder_ema_params is not None
+        else None,
+        restored["train_rng"],
+    )
 
 
 def main(
@@ -223,6 +290,21 @@ def main(
         model_object_dict,
     ) = on_device_model_training_state(training_config, mesh=mesh)
 
+    (
+        unet_state,
+        text_encoder_state,
+        unet_ema_params,
+        text_encoder_ema_params,
+        train_rngs,
+    ) = _maybe_restore_full_state(
+        config_dict,
+        unet_state,
+        text_encoder_state,
+        unet_ema_params,
+        text_encoder_ema_params,
+        train_rngs,
+    )
+
     train_step_funcs = dp_compile_all_unique_resolution(
         unet_state,
         text_encoder_state,
@@ -246,6 +328,13 @@ def main(
     # xplane trace of the first few steps of the first chunk
     profile_trace_dir = config_dict.get("profile_trace_dir")
     profiled = False
+
+    # TensorBoard scalars next to loss.csv (the reference shipped the deps
+    # but never wrote summaries — SURVEY.md §5.5); opt-in via config
+    from ..utils.metrics import MetricsWriter
+
+    metrics_writer = MetricsWriter(config_dict.get("tensorboard_dir"))
+    global_step = 0  # steps this invocation (chunk/seed tagged alongside)
 
     for _ in range(config_dict["chunk_limit"]):
         dataloader.delete_prev_chunks(prev_chunk=config_dict["chunk_number"] - 1)
@@ -299,9 +388,10 @@ def main(
             if current_batch is None:
                 continue
 
+            dispatch_key = batch_dispatch_key(current_batch)
             train_step_progress_bar.update(1)
             train_step_progress_bar.set_description(
-                desc=f'processing shape [{current_batch["pixel_values"].shape}]...'
+                desc=f"processing shape [{dispatch_key}]..."
             )
 
             # reference quirk kept: reset inside the loop, so the logged
@@ -315,7 +405,7 @@ def main(
                 text_encoder_ema_params,
                 train_metric,
                 train_rngs,
-            ) = train_step_funcs[current_batch["pixel_values"].shape](
+            ) = train_step_funcs[dispatch_key](
                 unet_state,
                 text_encoder_state,
                 unet_ema_params,
@@ -336,6 +426,7 @@ def main(
                 jax.profiler.stop_trace()
                 profiled = True
 
+            global_step += 1
             if count % config_dict["loss_logging_interval"] == 0:
                 stop = time.time()
                 time_elapsed = round(stop - start, 4)
@@ -344,6 +435,14 @@ def main(
                     time_elapsed / config_dict["loss_logging_interval"], 4
                 )
                 start = time.time()
+                if metrics_writer.active:
+                    metrics_writer.scalar("train/loss", float(loss), global_step)
+                    metrics_writer.scalar(
+                        "train/step_time_s", time_per_step, global_step
+                    )
+                    metrics_writer.scalar(
+                        "train/chunk", config_dict["chunk_steps"], global_step
+                    )
                 train_step_progress_bar.write(
                     f"at steps {count}, avg loss for "
                     f'{config_dict["loss_logging_interval"]} steps: {loss},'
@@ -361,6 +460,7 @@ def main(
             config_dict, model_object_dict, tokenizer,
             unet_state, text_encoder_state,
             unet_ema_params, text_encoder_ema_params, frozen_vae,
+            train_rngs=train_rngs,
         )
         config_dict["chunk_number"] += 1
         config_dict["chunk_steps"] += 1
@@ -374,3 +474,4 @@ def main(
 
     config_dict["master_seed"] += 1
     save_dict_to_json(config_dict, config_dict_path)
+    metrics_writer.close()

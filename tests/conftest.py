@@ -19,6 +19,11 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402  (import after env setup)
 
 jax.config.update("jax_platforms", "cpu")
+# persistent XLA compile cache shared by the whole suite: the fused train
+# step compiles once per (shape, statics) across ALL test sessions — the
+# single biggest lever for suite wall-clock on 1-core CI boxes
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_pytest")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import pytest  # noqa: E402
 

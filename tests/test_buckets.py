@@ -51,3 +51,38 @@ def test_assign_bucket_prefers_matching_aspect():
     assert (w, h) == (512, 512)
     w, h = assign_bucket(512, 2048, res)
     assert w < h
+
+
+def test_bucket_rounding_cuts_program_count():
+    """Raising bucket_rounding shrinks the AOT program zoo (compile-count
+    lever, SURVEY.md §7 hard part 5)."""
+    from stable_diffusion_training_tpu.data.buckets import (
+        calculate_resolution_array,
+    )
+
+    fine = calculate_resolution_array(1024**2, 512, rounding=64)
+    coarse = calculate_resolution_array(1024**2, 512, rounding=128)
+    assert len(coarse) < len(fine)
+    assert all(w % 128 == 0 and h % 128 == 0 for w, h in coarse)
+    assert all(w * h <= 1024**2 for w, h in coarse)
+
+
+def test_all_unique_resolutions_dedupes_across_tiers():
+    from stable_diffusion_training_tpu.train.aot import all_unique_resolutions
+    from test_train import make_config
+
+    cfg = make_config(image_area_root=[512, 512], minimum_axis_length=[448, 448])
+    res = all_unique_resolutions(cfg)
+    as_tuples = [tuple(r) for r in res]
+    assert len(as_tuples) == len(set(as_tuples))
+
+
+def test_degenerate_bucket_config_raises():
+    import pytest
+
+    from stable_diffusion_training_tpu.data.buckets import (
+        calculate_resolution_array,
+    )
+
+    with pytest.raises(ValueError, match="rounding"):
+        calculate_resolution_array(32**2, 32, rounding=64)

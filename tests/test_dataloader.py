@@ -156,3 +156,62 @@ class TestDataLoader:
         os.makedirs(victim, exist_ok=True)
         loader.delete_prev_chunks(9)
         assert not os.path.exists(victim)
+
+
+def test_per_host_decode_slices_work_items(tmp_path):
+    """With process_count=2, each host decodes only its half of every global
+    batch (per-host pod loading, SURVEY.md §5.8); batch shapes shrink to the
+    local size while the batch PLAN (shapes/sequence) stays host-agnostic."""
+    import numpy as np
+
+    from stable_diffusion_training_tpu.data.dataloader import DataLoader
+
+    class _Tok:
+        bos_token_id, eos_token_id, pad_token_id = 1, 2, 0
+
+        def __call__(self, captions, add_special_tokens=False):
+            return {"input_ids": [[5] * 3 for _ in captions]}
+
+    def _mk(process_index):
+        return DataLoader(
+            tokenizer_obj=_Tok(),
+            config={"repo": {}},
+            ramdisk_path=str(tmp_path / f"rd{process_index}"),
+            training_batch_size=4,
+            repeat_batch=1,
+            maximum_resolution_areas=[64 * 64],
+            bucket_lower_bound_resolutions=[64],
+            numb_of_worker_thread=1,
+            queue_get_timeout=2,
+            process_index=process_index,
+            process_count=2,
+        )
+
+    import pandas as pd
+    from PIL import Image
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rows = []
+    for i in range(4):
+        p = img_dir / f"{i}.png"
+        Image.new("RGB", (64, 64), (i * 50, 0, 0)).save(p)
+        rows.append({"filepath": str(p), "caption": f"c{i}",
+                     "width": 64, "height": 64, "repo_key": "r"})
+    df = pd.DataFrame(rows)
+
+    batches = {}
+    for pi in (0, 1):
+        loader = _mk(pi)
+        loader._dataframe = df
+        loader.create_training_dataframe()
+        assert loader._bulk_batch_count == 1
+        loader.dispatch_worker()
+        b = loader.grab_next_batch()
+        assert b["pixel_values"].shape[0] == 2  # local = global 4 / 2 hosts
+        batches[pi] = b
+
+    # the two hosts decoded disjoint halves of the same global batch
+    assert not np.allclose(
+        batches[0]["pixel_values"], batches[1]["pixel_values"]
+    )

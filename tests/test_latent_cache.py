@@ -43,6 +43,7 @@ _STATIC = dict(
 )
 
 
+@pytest.mark.slow  # online-vs-cached fused-step compiles
 def test_cached_latents_match_online_vae(tiny_states, tmp_path):
     _, states = tiny_states
     objs = states[6]

@@ -65,6 +65,7 @@ class TestUNet:
             atol=1e-5,
         )
 
+    @pytest.mark.slow  # full bwd x2 compile
     def test_gradient_checkpointing_same_grads(self, tiny_unet, rng):
         _, params = tiny_unet
         sample = jax.random.normal(rng, (1, 4, 8, 8))
@@ -226,6 +227,7 @@ class TestSD21Variants:
     """SD2.1 architecture knobs: per-block head dims, linear in/out
     projections in the spatial transformer, gelu CLIP."""
 
+    @pytest.mark.slow  # SD2.1-variant block compile
     def test_per_block_heads_and_linear_projection(self, rng):
         cfg = dict(configs.TINY_UNET)
         cfg.update(attention_head_dim=(2, 4), use_linear_projection=True)

@@ -103,3 +103,169 @@ class TestDistributed:
 
         s = process_local_batch_slice(32)
         assert s == slice(0, 32)  # single process
+
+
+def _tiny_tp_config(tp: bool):
+    from stable_diffusion_training_tpu.train import TrainingConfig
+
+    return TrainingConfig(
+        model_path="tiny",
+        batch_size=4,
+        learning_rate=1e-4,
+        unet_learning_rate=1e-4,
+        text_encoder_learning_rate=1e-4,
+        lr_scheduler="constant",
+        adam_to_lion_scale_factor=7.0,
+        compilation_cache_path="/tmp/jax_cache_tp_test",
+        keep_compiled_fn_in_cache=False,
+        text_encoder_context_window=77,
+        context_window_concatenation_count=3,
+        aot_compile=True,
+        strip_bos_eos_token=True,
+        offset_noise_magnitude=0.0,
+        min_snr_gamma_magnitude=0.0,
+        perturbation_noise_magnitude=0.0,
+        image_area_root=[32],
+        minimum_axis_length=[32],
+        beta_scheduler="zero_snr_scaled_linear",
+        prediction_type="v_prediction",
+        excluded_layer_pattern_from_weight_decay=["bias", "scale", "embedding"],
+        excluded_layer_from_quantization=["bias", "scale", "embedding"],
+        quant_block_size=16,
+        quantize_unet_state=True,
+        quantize_text_encoder_state=True,
+        accumulate_unet_ema=False,
+        accumulate_text_encoder_ema=False,
+        ema_rate=0.0,
+        mixed_precision="float32",
+        model_family="tiny",
+        fsdp_shard_params=False,
+        tensor_parallel_shard_params=tp,
+    )
+
+
+def _one_tp_step(mesh, tp: bool):
+    from jax.sharding import NamedSharding
+
+    from stable_diffusion_training_tpu.data.memory import synthetic_batch
+    from stable_diffusion_training_tpu.train import (
+        on_device_model_training_state,
+        train_step,
+    )
+
+    cfg = _tiny_tp_config(tp)
+    (unet_state, te_state, _, _, frozen_vae, frozen_sched, _) = (
+        on_device_model_training_state(cfg, mesh=mesh)
+    )
+    batch = synthetic_batch(4, (32, 32), concat_count=3, vocab_size=1000, seed=0)
+    batch = jax.tree_util.tree_map(
+        lambda leaf: jax.device_put(
+            leaf, NamedSharding(mesh, PartitionSpec("data_parallel"))
+        ),
+        batch,
+    )
+    step = jax.jit(
+        train_step,
+        donate_argnums=(0, 1),
+        static_argnames=(
+            "strip_bos_eos_token",
+            "offset_noise_magnitude",
+            "min_snr_gamma_magnitude",
+            "perturbation_noise_magnitude",
+            "ema_rate",
+        ),
+    )
+    out = step(
+        unet_state,
+        te_state,
+        None,
+        None,
+        batch,
+        jax.random.PRNGKey(0),
+        frozen_vae,
+        frozen_sched,
+        strip_bos_eos_token=True,
+        offset_noise_magnitude=0.0,
+        min_snr_gamma_magnitude=0.0,
+        perturbation_noise_magnitude=0.0,
+        ema_rate=0.0,
+    )
+    new_unet_state, loss = out[0], float(out[4]["loss"])
+    return new_unet_state, loss
+
+
+@pytest.mark.slow
+def test_tp_train_step(cpu_devices):
+    """The FULL fused train step (VAE+CLIP+UNet fwd, bwd, quantized-Lion
+    update) runs under real Megatron tensor parallelism (model_parallel=2)
+    and matches the replicated run — making SURVEY.md §2.13's TP row real
+    (the reference only scaffolds the axis, training_utils.py:30-37)."""
+    mesh_tp = mesh_lib.create_mesh(
+        shape=(2, 1, 2),
+        axis_names=("data_parallel", "fsdp", "model_parallel"),
+        devices=cpu_devices[:4],
+    )
+    mesh_rep = mesh_lib.create_mesh(
+        shape=(2, 1, 1),
+        axis_names=("data_parallel", "fsdp", "model_parallel"),
+        devices=cpu_devices[:2],
+    )
+    state_tp, loss_tp = _one_tp_step(mesh_tp, tp=True)
+    state_rep, loss_rep = _one_tp_step(mesh_rep, tp=False)
+
+    # TP-sharded kernels really are distributed over model_parallel
+    tp_kernel = state_tp.params["down_blocks_0"]
+    specs = jax.tree_util.tree_map(
+        lambda leaf: getattr(leaf.sharding, "spec", None), state_tp.params
+    )
+    flat_specs = jax.tree_util.tree_leaves(
+        specs, is_leaf=lambda s: isinstance(s, PartitionSpec)
+    )
+    assert any(
+        "model_parallel" in [ax for axes in spec if axes for ax in (axes if isinstance(axes, tuple) else (axes,))]
+        for spec in flat_specs
+        if isinstance(spec, PartitionSpec)
+    ), "no parameter was TP-sharded"
+    del tp_kernel
+
+    np.testing.assert_allclose(loss_tp, loss_rep, rtol=2e-5)
+    # updated params agree across layouts (GSPMD reductions may reorder,
+    # so allow float32 reassociation noise)
+    flat_tp = jax.tree_util.tree_leaves(state_tp.params)
+    flat_rep = jax.tree_util.tree_leaves(state_rep.params)
+    assert len(flat_tp) == len(flat_rep)
+    for a, b in zip(flat_tp, flat_rep):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=3e-5, atol=3e-6
+        )
+
+
+class TestPerHostData:
+    def test_slice_batch_for_process_single_process_noop(self):
+        from stable_diffusion_training_tpu.core.distributed import (
+            slice_batch_for_process,
+        )
+
+        batch = {"pixel_values": np.zeros((8, 3, 4, 4)), "input_ids": np.zeros((24, 77))}
+        out = slice_batch_for_process(batch)
+        assert out["pixel_values"].shape == (8, 3, 4, 4)
+        assert out["input_ids"].shape == (24, 77)
+
+    def test_put_global_batch_shards_data_axis(self, cpu_devices):
+        from stable_diffusion_training_tpu.core.distributed import put_global_batch
+
+        mesh = mesh_lib.create_mesh(shape=(8, 1))
+        batch = {
+            "pixel_values": np.arange(8 * 3 * 4 * 4, dtype=np.float32).reshape(
+                8, 3, 4, 4
+            ),
+            "input_ids": np.arange(24 * 7, dtype=np.int32).reshape(24, 7),
+        }
+        placed = put_global_batch(batch, mesh)
+        assert placed["pixel_values"].sharding.spec == PartitionSpec(
+            "data_parallel", None, None, None
+        )
+        assert len(placed["pixel_values"].sharding.device_set) == 8
+        np.testing.assert_array_equal(
+            np.asarray(placed["input_ids"]), batch["input_ids"]
+        )

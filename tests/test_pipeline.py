@@ -129,6 +129,7 @@ def test_multi_device_dp_inference(tiny_pipeline, cpu_devices):
     assert bool(jnp.isfinite(images).all())
 
 
+@pytest.mark.slow  # second dtype variant of the denoise-loop compile
 def test_bf16_pipeline_runs(tiny_pipeline):
     """bf16 compute path end-to-end (mixed-precision inference)."""
     from stable_diffusion_training_tpu.diffusion import DDIMScheduler

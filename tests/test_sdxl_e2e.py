@@ -1,0 +1,111 @@
+"""SDXL training END-TO-END from the trainer (BASELINE config 5 at tiny
+scale): offline VAE-latent cache + frozen second text encoder producing
+``pooled_text_embeds`` + size/crop ``time_ids``, consumed by the
+micro-conditioned UNet through the AOT-compiled fused step — the full
+orchestration path, not a synthetic train_step call."""
+
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from stable_diffusion_training_tpu.data import InMemoryDataLoader
+from stable_diffusion_training_tpu.data.latent_cache import (
+    CachedLatentLoader,
+    precompute_latent_cache,
+    sdxl_time_ids,
+)
+from stable_diffusion_training_tpu.models import (
+    AutoencoderKL,
+    CLIPTextModelWithProjection,
+    configs,
+)
+from stable_diffusion_training_tpu.train import trainer
+
+from test_trainer import make_config_dict
+
+
+def test_sdxl_time_ids_layout():
+    ids = sdxl_time_ids(3, (1024, 1024), (0, 0), (1024, 1024))
+    assert ids.shape == (3, 6) and ids.dtype == np.float32
+    np.testing.assert_array_equal(ids[0], [1024, 1024, 0, 0, 1024, 1024])
+
+
+def test_latent_cache_carries_sdxl_conditioning(tmp_path):
+    vae = AutoencoderKL(**configs.TINY_VAE, data_format="NHWC")
+    te2 = CLIPTextModelWithProjection(**configs.TINY_CLIP_PROJ)
+    rng = jax.random.PRNGKey(0)
+    vae_params = vae.init(rng)
+    te2_params = te2.init(rng)
+
+    pixel_loader = InMemoryDataLoader.synthetic(
+        2, 2, [(32, 32)], concat_count=3, vocab_size=1000, seed=0
+    )
+    cached = precompute_latent_cache(
+        pixel_loader, vae, vae_params, str(tmp_path / "cache"),
+        text_encoder_2=te2, te2_params=te2_params,
+    )
+    batch = cached.grab_next_batch()
+    assert batch["latent_moments"].shape == (2, 8, 16, 16)  # 2x4 chans, /2 res
+    assert batch["pooled_text_embeds"].shape == (2, 16)
+    np.testing.assert_array_equal(
+        batch["time_ids"], sdxl_time_ids(2, (32, 32), (0, 0), (32, 32))
+    )
+    # pooled embeds come from the first 77-token window of each sample
+    ids = batch["input_ids"].reshape(2, -1, 77)[:, 0, :]
+    expected = np.asarray(te2(ids, params=te2_params).text_embeds)
+    np.testing.assert_allclose(
+        batch["pooled_text_embeds"], expected, rtol=1e-6, atol=1e-6
+    )
+
+
+@pytest.mark.slow
+def test_sdxl_trainer_end_to_end_with_latent_cache(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    base = str(tmp_path / "ckpt" / "sdxl")
+    cfg = make_config_dict(
+        tmp_path,
+        model_path=base + "@0",
+        model_family="tiny_sdxl",
+        chunk_limit=1,
+        use_latent_cache=True,
+        sdxl_micro_conditioning=True,
+        train_text_encoder=False,  # frozen TE1, the config-5 recipe
+        image_area_root=[64],  # bucket grid is 64-aligned (reference rounding)
+        minimum_axis_length=[64],
+        batch_size=2,
+        loss_logging_interval=1,
+    )
+    config_path = str(tmp_path / "props.json")
+    with open(config_path, "w") as f:
+        json.dump(cfg, f)
+
+    # offline pass: pixels -> latent moments + pooled TE2 embeds + time_ids
+    vae = AutoencoderKL(
+        **configs.TINY_VAE, data_format="NHWC"
+    )
+    te2 = CLIPTextModelWithProjection(**configs.TINY_CLIP_PROJ)
+    rng = jax.random.PRNGKey(0)
+    pixel_loader = InMemoryDataLoader.synthetic(
+        2, 2, [(64, 64)], concat_count=3, vocab_size=1000, seed=0
+    )
+    cached = precompute_latent_cache(
+        pixel_loader, vae, vae.init(rng), str(tmp_path / "cache"),
+        text_encoder_2=te2, te2_params=te2.init(rng),
+    )
+    assert isinstance(cached, CachedLatentLoader)
+
+    from stable_diffusion_training_tpu.core import mesh as mesh_lib
+
+    mesh = mesh_lib.create_mesh(shape=(2, 1), devices=jax.devices()[:2])
+    trainer.main(
+        config_dict_path=config_path, dataloader=cached, tokenizer=None, mesh=mesh
+    )
+
+    # the run completed: loss rows written, checkpoint saved
+    with open(cfg["loss_csv"]) as f:
+        rows = [l for l in f.read().splitlines()[1:] if l]
+    assert rows and all(np.isfinite(float(r.split(",")[2])) for r in rows)
+    assert os.path.isdir(f"{base}@0/unet")

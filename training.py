@@ -13,4 +13,3 @@ from stable_diffusion_training_tpu.train.trainer import main
 if __name__ == "__main__":
     config_path = sys.argv[1] if len(sys.argv) > 1 else "model_properties.json"
     main(config_dict_path=config_path)
-print()
