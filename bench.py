@@ -4,19 +4,28 @@ Prints ONE JSON line:
 ``{"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}``
 
 Primary metric (BASELINE.md): training images/sec/chip, SD1.5 UNet at 512².
-The reference publishes no numbers (``BASELINE.json`` ``published: {}``), so
-``vs_baseline`` compares against our own first recorded round-1 value
-(override with BENCH_BASELINE).
+The reference publishes no numbers (``BASELINE.json`` ``published: {}``) and
+cannot run here (no diffusers / no egress), so ``vs_baseline`` is anchored to
+a **reference-style leg measured in the same session**: the same fused train
+step computed the way the patched reference computes it — exact single-chunk
+XLA attention (what ``key_chunk_patch.patch`` reduces diffusers'
+memory-efficient attention to, SURVEY.md §2.12) and the XLA-fused jnp 8-bit
+Lion (``/root/reference/lion_quant.py`` semantics) instead of the Pallas
+kernels. Same-session ratios are the only meaningful comparison on this rig
+(throughput varies between sessions — PERF_NOTES.md).
 
 Also reported:
 - ``p50_step_time_s``: true median over timed groups of chained steps (keeps
   the async-dispatch pipelining of real training, unlike per-step syncs);
 - ``mfu``: model FLOPs utilization — XLA's own cost analysis of the compiled
   step (covers VAE+CLIP+UNet fwd/bwd + optimizer) divided by wall-clock x
-  chip peak (BASELINE.md north star is >=95% MXU utilization on the UNet).
+  chip peak (BASELINE.md north star is >=95% MXU utilization on the UNet);
+- ``ref_style_*``: the reference-style leg's numbers.
 
 Env overrides: BENCH_BATCH (default 8), BENCH_RES (default 512),
-BENCH_STEPS (default 10), BENCH_FAMILY (default sd15), BENCH_BASELINE,
+BENCH_STEPS (default 10), BENCH_FAMILY (default sd15), BENCH_SKIP_REF=1
+(skip the reference-style leg; vs_baseline then falls back to the recorded
+round-1 anchor), BENCH_BASELINE (override that anchor),
 BENCH_PEAK_TFLOPS (chip peak override, bf16 TFLOP/s).
 """
 
@@ -29,7 +38,7 @@ import numpy as np
 
 # images/sec/chip recorded for this benchmark's first honest (value-synced)
 # round-1 run on the target chip (v5e, SD1.5 512² batch 8 bf16: p50 717ms);
-# later rounds compare against it. Override with BENCH_BASELINE.
+# fallback anchor when the reference-style leg is skipped.
 RECORDED_BASELINE = float(os.environ.get("BENCH_BASELINE", "0")) or 11.2
 
 # bf16 peak TFLOP/s per chip by device kind substring
@@ -54,20 +63,10 @@ def _chip_peak_flops() -> float:
     return 0.0
 
 
-def main():
-    batch = int(os.environ.get("BENCH_BATCH", "8"))
-    res = int(os.environ.get("BENCH_RES", "512"))
-    steps = int(os.environ.get("BENCH_STEPS", "10"))
-    family = os.environ.get("BENCH_FAMILY", "sd15")
+def _build_config(family, batch, res, reference_style):
+    from stable_diffusion_training_tpu.train import TrainingConfig
 
-    from stable_diffusion_training_tpu.data.memory import synthetic_batch
-    from stable_diffusion_training_tpu.train import (
-        TrainingConfig,
-        on_device_model_training_state,
-        train_step,
-    )
-
-    cfg = TrainingConfig(
+    return TrainingConfig(
         model_path=family,
         batch_size=batch,
         learning_rate=1e-4,
@@ -98,17 +97,34 @@ def main():
         ema_rate=0.0,
         mixed_precision="bfloat16",
         model_family=family,
+        # reference-style leg: exact single-chunk XLA attention (the patched
+        # reference's computation) + jnp 8-bit Lion; optimized leg: Pallas
+        # flash attention + fused Pallas Lion kernel
+        attention_backend="xla" if reference_style else "auto",
+        use_pallas_lion=False if reference_style else None,
     )
 
-    (unet_state, te_state, unet_ema, te_ema, frozen_vae, frozen_sched, _) = (
-        on_device_model_training_state(cfg)
-    )
 
-    b = synthetic_batch(batch, (res, res), concat_count=3, seed=0)
+def run_leg(family, batch, res, steps, reference_style):
+    """Measure one variant of the fused train step. Returns a metrics dict."""
     from jax.sharding import NamedSharding, PartitionSpec
 
     from stable_diffusion_training_tpu.core import mesh as mesh_lib
+    from stable_diffusion_training_tpu.data.memory import synthetic_batch
+    from stable_diffusion_training_tpu.train import (
+        on_device_model_training_state,
+        train_step,
+    )
 
+    cfg = _build_config(family, batch, res, reference_style)
+    (unet_state, te_state, _, _, frozen_vae, frozen_sched, _) = (
+        on_device_model_training_state(cfg)
+    )
+
+    from stable_diffusion_training_tpu.models import configs as model_configs
+
+    vocab = model_configs.MODEL_FAMILIES[family]["text_encoder"]["vocab_size"]
+    b = synthetic_batch(batch, (res, res), concat_count=3, seed=0, vocab_size=vocab)
     mesh = mesh_lib.get_default_mesh()
     b = jax.tree_util.tree_map(
         lambda leaf: jax.device_put(
@@ -179,36 +195,70 @@ def main():
         samples.append((time.perf_counter() - t0) / group)
 
     p50 = float(np.median(samples))
-    mean = float(np.mean(samples))
     n_chips = jax.device_count()
-    images_per_sec_per_chip = batch / p50 / n_chips
-    vs_baseline = (
-        images_per_sec_per_chip / RECORDED_BASELINE if RECORDED_BASELINE else 1.0
-    )
-
     peak = _chip_peak_flops()
     mfu = None
     if flops_per_step and peak:
         mfu = round(flops_per_step / (p50 * peak * n_chips), 4)
+    return {
+        "p50_step_time_s": round(p50, 5),
+        "mean_step_time_s": round(float(np.mean(samples)), 5),
+        "images_per_sec_per_chip": round(batch / p50 / n_chips, 4),
+        "mfu": mfu,
+        "flops_per_step": flops_per_step,
+        "n_chips": n_chips,
+        "chip_peak_flops": peak or None,
+        "loss": final_loss,
+    }
 
-    print(
-        json.dumps(
-            {
-                "metric": f"train_images_per_sec_per_chip_{family}_{res}",
-                "value": round(images_per_sec_per_chip, 4),
-                "unit": "images/sec/chip",
-                "vs_baseline": round(vs_baseline, 4),
-                "p50_step_time_s": round(p50, 5),
-                "mean_step_time_s": round(mean, 5),
-                "mfu": mfu,
-                "flops_per_step": flops_per_step,
-                "chip_peak_flops": peak or None,
-                "batch_size": batch,
-                "n_chips": n_chips,
-                "loss": final_loss,
-            }
+
+def main():
+    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    res = int(os.environ.get("BENCH_RES", "512"))
+    steps = int(os.environ.get("BENCH_STEPS", "10"))
+    family = os.environ.get("BENCH_FAMILY", "sd15")
+    skip_ref = os.environ.get("BENCH_SKIP_REF", "") == "1"
+
+    opt = run_leg(family, batch, res, steps, reference_style=False)
+
+    ref = None
+    if not skip_ref:
+        try:
+            ref = run_leg(
+                family, batch, res, max(4, steps // 2), reference_style=True
+            )
+        except Exception as exc:  # OOM at large res, etc. — fall back
+            print(f"# reference-style leg failed: {exc!r}", flush=True)
+
+    if ref:
+        vs_baseline = opt["images_per_sec_per_chip"] / ref[
+            "images_per_sec_per_chip"
+        ]
+        anchor = "same_session_reference_style_step"
+    else:
+        vs_baseline = (
+            opt["images_per_sec_per_chip"] / RECORDED_BASELINE
+            if RECORDED_BASELINE
+            else 1.0
         )
-    )
+        anchor = "recorded_round1_value"
+
+    record = {
+        "metric": f"train_images_per_sec_per_chip_{family}_{res}",
+        "value": opt["images_per_sec_per_chip"],
+        "unit": "images/sec/chip",
+        "vs_baseline": round(vs_baseline, 4),
+        "baseline_anchor": anchor,
+        "batch_size": batch,
+        **{k: v for k, v in opt.items() if k != "images_per_sec_per_chip"},
+    }
+    if ref:
+        record["ref_style_images_per_sec_per_chip"] = ref[
+            "images_per_sec_per_chip"
+        ]
+        record["ref_style_p50_step_time_s"] = ref["p50_step_time_s"]
+        record["ref_style_mfu"] = ref["mfu"]
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

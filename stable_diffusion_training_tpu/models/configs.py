@@ -80,6 +80,38 @@ SDXL_UNET: Dict[str, Any] = dict(
     projection_class_embeddings_input_dim=2816,
 )
 
+SDXL_REFINER_UNET: Dict[str, Any] = dict(
+    # stabilityai/stable-diffusion-xl-refiner-1.0 layout: 4 levels with
+    # attention only on the middle two, TE2-only 1280-dim context, and
+    # aesthetic-score micro-conditioning (5 time ids: 2560 = 1280 + 5*256).
+    # Real checkpoints carry their own unet/config.json through from_config;
+    # this entry exists for fresh-init benchmarks/tests.
+    sample_size=128,
+    in_channels=4,
+    out_channels=4,
+    down_block_types=(
+        "DownBlock2D",
+        "CrossAttnDownBlock2D",
+        "CrossAttnDownBlock2D",
+        "DownBlock2D",
+    ),
+    up_block_types=(
+        "UpBlock2D",
+        "CrossAttnUpBlock2D",
+        "CrossAttnUpBlock2D",
+        "UpBlock2D",
+    ),
+    block_out_channels=(384, 768, 1536, 1536),
+    layers_per_block=2,
+    transformer_layers_per_block=4,
+    attention_head_dim=(6, 12, 24, 24),  # d_head=64 at every scale
+    cross_attention_dim=1280,
+    use_linear_projection=True,
+    addition_embed_type="text_time",
+    addition_time_embed_dim=256,
+    projection_class_embeddings_input_dim=2560,
+)
+
 SD_VAE: Dict[str, Any] = dict(
     in_channels=3,
     out_channels=3,
@@ -175,6 +207,12 @@ TINY_CLIP: Dict[str, Any] = dict(
 
 TINY_CLIP_PROJ: Dict[str, Any] = dict(TINY_CLIP, projection_dim=16)
 
+TINY_SDXL_REFINER_UNET: Dict[str, Any] = dict(  # refiner shape: 5 time ids
+    TINY_SDXL_UNET,
+    cross_attention_dim=32,
+    projection_class_embeddings_input_dim=8 * 5 + 16,  # 5 time_ids + pooled 16
+)
+
 MODEL_FAMILIES = {
     "sd15": dict(unet=SD15_UNET, vae=SD_VAE, text_encoder=CLIP_VIT_L),
     "sd21": dict(unet=SD21_UNET, vae=SD_VAE, text_encoder=OPEN_CLIP_VIT_H),
@@ -189,6 +227,18 @@ MODEL_FAMILIES = {
         unet=TINY_SDXL_UNET,
         vae=TINY_VAE,
         text_encoder=TINY_CLIP,
+        text_encoder_2=TINY_CLIP_PROJ,
+    ),
+    "sdxl_refiner": dict(
+        unet=SDXL_REFINER_UNET,
+        vae=SDXL_VAE,
+        text_encoder=OPEN_CLIP_VIT_BIGG,  # TE2 only; slot kept for assembly
+        text_encoder_2=OPEN_CLIP_VIT_BIGG,
+    ),
+    "tiny_sdxl_refiner": dict(
+        unet=TINY_SDXL_REFINER_UNET,
+        vae=TINY_VAE,
+        text_encoder=TINY_CLIP_PROJ,
         text_encoder_2=TINY_CLIP_PROJ,
     ),
 }

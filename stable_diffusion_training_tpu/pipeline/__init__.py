@@ -6,11 +6,19 @@ from .stable_diffusion import (
     unshard,
 )
 from .sdxl import FlaxStableDiffusionXLPipeline, StableDiffusionXLPipeline
+from .sdxl_refiner import (
+    FlaxStableDiffusionXLImg2ImgPipeline,
+    StableDiffusionXLImg2ImgPipeline,
+    prepare_image,
+)
 
 __all__ = [
     "StableDiffusionPipeline",
     "FlaxStableDiffusionPipeline",
     "StableDiffusionXLPipeline",
     "FlaxStableDiffusionXLPipeline",
+    "StableDiffusionXLImg2ImgPipeline",
+    "FlaxStableDiffusionXLImg2ImgPipeline",
+    "prepare_image",
     "unshard",
 ]

@@ -62,6 +62,9 @@ class TrainingConfig:
     train_text_encoder: bool = True
     mixed_precision: str = "bfloat16"  # computation dtype for the models
     attention_backend: str = "auto"  # "auto" | "flash" | "xla"
+    # route quantized momentum through the fused Pallas kernel; None = auto
+    # (on for TPU backends). False gives the reference-style XLA-fused path.
+    use_pallas_lion: Optional[bool] = None
     seed_init: int = 0  # rng for fresh-family init
     grad_accumulation_steps: int = 1  # micro-batch accumulation (1 = off)
     use_latent_cache: bool = False  # batches carry latent_moments, VAE skipped

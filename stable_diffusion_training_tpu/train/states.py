@@ -181,6 +181,7 @@ def create_lion_optimizer_states(
     lion_8bit_block_size: Optional[int] = None,
     quantize_unet_state: bool = False,
     quantize_text_encoder_state: bool = False,
+    use_pallas_lion: Optional[bool] = None,
 ) -> dict:
     """Build clip(1) -> Lion(8-bit or dense) TrainStates on CPU.
 
@@ -213,6 +214,7 @@ def create_lion_optimizer_states(
                 mask=decay_mask,
                 block_size=lion_8bit_block_size,
                 excluded_layer_mask=quant_mask,
+                use_pallas=use_pallas_lion,
             )
         else:
             lion = optax.lion(
@@ -289,6 +291,7 @@ def on_device_model_training_state(
         lion_8bit_block_size=training_config.quant_block_size,
         quantize_unet_state=training_config.quantize_unet_state,
         quantize_text_encoder_state=training_config.quantize_text_encoder_state,
+        use_pallas_lion=training_config.use_pallas_lion,
     )
     if not training_config.train_text_encoder:
         # frozen text encoder (SDXL-scale runs, BASELINE config 5): keep the

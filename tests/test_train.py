@@ -146,6 +146,7 @@ class TestStateAssembly:
 
 
 class TestTrainStep:
+    @pytest.mark.slow  # EMA-variant fused-step compile + 4 steps (~160s on 1 core)
     def test_loss_finite_and_decreasing_trend(self, tiny_states):
         _, states = tiny_states
         unet_state, te_state, unet_ema, te_ema, fvae, fsched, _ = clone(states)
