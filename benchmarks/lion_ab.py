@@ -7,13 +7,16 @@ between sessions). Informs the ``use_pallas`` auto default for
 ``optim.lion8bit`` at the config's ``block_size=16``.
 """
 
+import os
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from stable_diffusion_training_tpu.optim.lion8bit import scale_by_lion_8bit
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from stable_diffusion_training_tpu.optim.lion8bit import scale_by_lion_8bit  # noqa: E402
 
 SHAPES = [  # a representative slice of SD1.5 UNet leaves (~104M params)
     (1280, 1280, 3, 3),

@@ -79,11 +79,12 @@ def attention(
     """
     if backend == "auto":
         # flash wins when the logits matrix is large (self-attention over
-        # spatial tokens); for short key sequences (77/227-token text
-        # cross-attention) the fused XLA path is at parity and fuses better
-        # with its neighbors (measured on v5e: 4096 tokens 4.9ms flash vs
-        # 5.8ms xla; 16k tokens flash-only — xla OOMs)
-        use_flash = _flash_available() and key.shape[1] >= 1024
+        # spatial tokens); for short/medium key sequences (77/227-token text
+        # cross-attention, 1024-token mid levels) the fused XLA path wins and
+        # fuses better with its neighbors. v5e sweep (benchmarks/flash_ab.py):
+        # 4096 tokens fwd+bwd flash 254ms vs xla 294ms; 1024 tokens flash
+        # 23.2ms vs xla 21.0ms; 16k tokens flash-only — xla OOMs.
+        use_flash = _flash_available() and key.shape[1] >= 2048
         backend = "flash" if use_flash else "xla"
     if backend == "flash":
         from .flash_attention import flash_attention, flash_supported

@@ -23,8 +23,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_BLOCK_Q = 512
-DEFAULT_BLOCK_K = 512
+# v5e sweep (benchmarks/flash_ab.py, PERF_NOTES.md): 1024x1024 tiles beat
+# 512x512 by ~1.6x fwd+bwd at 4096 tokens and ~1.6x at 16384 — grid overhead
+# dominates smaller tiles; 1024² f32 logits (4 MB) still fit VMEM with room
+# for the q/k/v tiles and accumulators.
+DEFAULT_BLOCK_Q = 1024
+DEFAULT_BLOCK_K = 1024
 _NEG_INF = -1e30
 
 

@@ -130,6 +130,80 @@ class StableDiffusionXLImg2ImgPipeline(StableDiffusionXLPipeline):
         )
         return pipe, params
 
+    def save_pretrained(self, save_directory: str, params) -> None:
+        """Export in diffusers refiner layout. A TE1-less checkpoint writes
+        unet/vae/scheduler/text_encoder_2/tokenizer_2 only; with a first
+        tower present the base SDXL layout is used."""
+        if self.text_encoder is not None and "text_encoder" in params:
+            super().save_pretrained(save_directory, params)
+            return
+
+        import json
+        import os
+
+        from ..diffusion import DDIMScheduler
+        from ..models import hf_io
+        from ..train.checkpoint import _to_numpy_f32
+
+        os.makedirs(save_directory, exist_ok=True)
+        scheduler = DDIMScheduler(
+            beta_start=0.00085, beta_end=0.012, beta_schedule="scaled_linear",
+            num_train_timesteps=1000, prediction_type="v_prediction",
+        )
+        scheduler.save_config(os.path.join(save_directory, "scheduler"))
+
+        unet_dir = os.path.join(save_directory, "unet")
+        self.unet.save_config(unet_dir)
+        hf_io.save_unet_params(_to_numpy_f32(params["unet"]), unet_dir)
+        vae_dir = os.path.join(save_directory, "vae")
+        self.vae.save_config(vae_dir)
+        hf_io.save_vae_params(_to_numpy_f32(params["vae"]), vae_dir)
+
+        te2_dir = os.path.join(save_directory, "text_encoder_2")
+        os.makedirs(te2_dir, exist_ok=True)
+        cfg = dict(self.text_encoder_2.config.to_dict())
+        cfg.update(
+            {
+                "architectures": ["CLIPTextModelWithProjection"],
+                "model_type": "clip_text_model",
+                "torch_dtype": "float32",
+            }
+        )
+        with open(os.path.join(te2_dir, "config.json"), "w") as f:
+            json.dump(cfg, f, indent=2, sort_keys=True)
+        sd = hf_io.flax_params_to_torch_state_dict(
+            _to_numpy_f32(params["text_encoder_2"])
+        )
+
+        def _rekey(k: str) -> str:
+            k = k.replace("text_model.token_embedding",
+                          "text_model.embeddings.token_embedding")
+            k = k.replace("text_model.position_embedding",
+                          "text_model.embeddings.position_embedding")
+            return k.replace("text_model.layers.", "text_model.encoder.layers.")
+
+        hf_io.save_safetensors(
+            {_rekey(k): v for k, v in sd.items()},
+            os.path.join(te2_dir, "model.safetensors"),
+            metadata={"format": "pt"},
+        )
+        if self.tokenizer_2 is not None:
+            self.tokenizer_2.save_pretrained(
+                os.path.join(save_directory, "tokenizer_2")
+            )
+        index = {
+            "_class_name": "FlaxStableDiffusionXLImg2ImgPipeline",
+            "_diffusers_version": "0.21.4",
+            "requires_aesthetics_score": self.requires_aesthetics_score,
+            "scheduler": ["diffusers", "FlaxDDIMScheduler"],
+            "text_encoder_2": ["transformers", "FlaxCLIPTextModelWithProjection"],
+            "tokenizer_2": ["transformers", "CLIPTokenizer"],
+            "unet": ["diffusers", "FlaxUNet2DConditionModel"],
+            "vae": ["diffusers", "FlaxAutoencoderKL"],
+        }
+        with open(os.path.join(save_directory, "model_index.json"), "w") as f:
+            json.dump(index, f, indent=2, sort_keys=True)
+
     # --- conditioning ---------------------------------------------------------
     def _encode_prompt_pair(self, prompt_ids, prompt_2_ids, params):
         """Refiner conditioning: TE2 penultimate hidden states only (1280

@@ -115,6 +115,19 @@ def test_refiner_aesthetic_score_matters(tiny_refiner_pipeline):
     assert not np.allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+def test_refiner_save_load_roundtrip(tiny_refiner_pipeline, tmp_path):
+    pipe, params = tiny_refiner_pipeline
+    out_dir = str(tmp_path / "refiner_ckpt")
+    pipe.save_pretrained(out_dir, params)
+    pipe2, params2 = StableDiffusionXLImg2ImgPipeline.from_pretrained(out_dir)
+    assert pipe2.text_encoder is None and pipe2.requires_aesthetics_score
+    kw = dict(strength=0.5, num_inference_steps=2, guidance_scale=3.0,
+              neg_prompt_ids=_ids(seed=7))
+    a = pipe(_ids(), _image(), params, jax.random.PRNGKey(6), **kw)["images"]
+    b = pipe2(_ids(), _image(), params2, jax.random.PRNGKey(6), **kw)["images"]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
 def test_refiner_rejects_bad_strength(tiny_refiner_pipeline):
     pipe, params = tiny_refiner_pipeline
     with pytest.raises(ValueError):
