@@ -95,9 +95,28 @@ def scale_by_lion_8bit(
             flag_value = bool(mask)
             mask = jax.tree_util.tree_map(lambda _: flag_value, params)
 
+        # quantized zero momentum is a constant: every block quantizes to
+        # _quantize(0) (code 3 via the zero-crossing offset) with the
+        # absmax<=0 guard scale of 1 — identical to _block_quantize(zeros)
+        # element-for-element, but O(1) to build instead of minutes of XLA
+        # constant-folding the compander over 10^8-element zero trees
+        zero_code = _quantize(jnp.zeros((), jnp.float32))
+
         def _init_leaf(_path, leaf, flag):
-            zeros = jnp.zeros_like(leaf, dtype=mu_scale_dtype)
-            return _block_quantize(zeros) if flag else zeros
+            if not flag:
+                return jnp.zeros_like(leaf, dtype=mu_scale_dtype)
+            if leaf.size % block_size:
+                # same loud failure as the reference's reshape(-1, block_size)
+                raise TypeError(
+                    f"parameter at {_path} has {leaf.size} elements, not "
+                    f"divisible by block_size={block_size}; add it to the "
+                    "quantization exclusion list"
+                )
+            n_blocks = leaf.size // block_size
+            return (
+                jnp.full((n_blocks, block_size), zero_code, jnp.int8),
+                jnp.ones((n_blocks, 1), mu_scale_dtype),
+            )
 
         mu_quant = jax.tree_util.tree_map_with_path(_init_leaf, params, mask)
         return ScaleBy8bitLionState(

@@ -11,6 +11,7 @@ alongside diffusers-format export.
 from .config import TrainingConfig, training_config_from_dict
 from .states import (
     FrozenModel,
+    build_lr_schedule,
     load_models,
     create_frozen_states,
     create_lion_optimizer_states,
@@ -24,6 +25,7 @@ __all__ = [
     "TrainingConfig",
     "training_config_from_dict",
     "FrozenModel",
+    "build_lr_schedule",
     "load_models",
     "create_frozen_states",
     "create_lion_optimizer_states",

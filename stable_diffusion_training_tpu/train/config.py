@@ -65,6 +65,16 @@ class TrainingConfig:
     # route quantized momentum through the fused Pallas kernel; None = auto
     # (on for TPU backends). False gives the reference-style XLA-fused path.
     use_pallas_lion: Optional[bool] = None
+    # the reference ignores the configured learning rates and scale factor
+    # (on_device_model_training_state hardcodes scale 7 and the 1e-6 LR
+    # defaults — training_utils.py:432-442) and implements only a constant
+    # schedule. honor_learning_rates=True forwards the configured
+    # unet/text LRs + adam_to_lion_scale_factor and enables real schedules
+    # via lr_scheduler: "constant" | "cosine" | "warmup_cosine" with
+    # lr_warmup_steps / lr_decay_steps. Default False = exact reference.
+    honor_learning_rates: bool = False
+    lr_warmup_steps: int = 0
+    lr_decay_steps: int = 0
     seed_init: int = 0  # rng for fresh-family init
     grad_accumulation_steps: int = 1  # micro-batch accumulation (1 = off)
     use_latent_cache: bool = False  # batches carry latent_moments, VAE skipped

@@ -169,6 +169,31 @@ def create_frozen_states(models: dict) -> dict:
     return {"vae_state": vae_state, "schedulers_state": schedulers_state}
 
 
+def build_lr_schedule(
+    learning_rate: float,
+    lr_scheduler: str = "constant",
+    warmup_steps: int = 0,
+    decay_steps: int = 0,
+):
+    """LR schedule factory. The reference implements only ``constant``
+    (``training_utils.py:355``); ``cosine``/``warmup_cosine`` are new
+    capabilities gated behind ``honor_learning_rates``."""
+    if lr_scheduler in ("constant", "", None):
+        if warmup_steps:
+            return optax.linear_schedule(0.0, learning_rate, warmup_steps)
+        return optax.constant_schedule(learning_rate)
+    if lr_scheduler in ("cosine", "warmup_cosine"):
+        if not decay_steps:
+            raise ValueError(f"{lr_scheduler!r} requires lr_decay_steps > 0")
+        return optax.warmup_cosine_decay_schedule(
+            init_value=0.0,
+            peak_value=learning_rate,
+            warmup_steps=warmup_steps if lr_scheduler == "warmup_cosine" else 0,
+            decay_steps=decay_steps,
+        )
+    raise ValueError(f"unknown lr_scheduler {lr_scheduler!r}")
+
+
 def create_lion_optimizer_states(
     models: dict,
     train_unet: bool = True,
@@ -182,6 +207,9 @@ def create_lion_optimizer_states(
     quantize_unet_state: bool = False,
     quantize_text_encoder_state: bool = False,
     use_pallas_lion: Optional[bool] = None,
+    lr_scheduler: str = "constant",
+    lr_warmup_steps: int = 0,
+    lr_decay_steps: int = 0,
 ) -> dict:
     """Build clip(1) -> Lion(8-bit or dense) TrainStates on CPU.
 
@@ -202,7 +230,12 @@ def create_lion_optimizer_states(
         return create_mask(params, excluded_layer_pattern_from_weight_decay)
 
     def _build(model, params, apply_fn, learning_rate, quantize):
-        schedule = optax.constant_schedule(learning_rate / adam_to_lion_scale_factor)
+        schedule = build_lr_schedule(
+            learning_rate / adam_to_lion_scale_factor,
+            lr_scheduler=lr_scheduler,
+            warmup_steps=lr_warmup_steps,
+            decay_steps=lr_decay_steps,
+        )
         decay_mask = _decay_mask(params)
         if quantize:
             quant_mask = create_mask(params, excluded_layer_from_quantization)
@@ -277,11 +310,25 @@ def on_device_model_training_state(
     """
     mesh = mesh or mesh_lib.get_default_mesh()
     models = load_models(training_config=training_config)
+    # the reference hardcodes scale 7 and drops the configured LRs
+    # (training_utils.py:432-442); honor_learning_rates opts out of that quirk
+    lr_kwargs = dict(adam_to_lion_scale_factor=7)
+    if training_config.honor_learning_rates:
+        lr_kwargs = dict(
+            adam_to_lion_scale_factor=training_config.adam_to_lion_scale_factor,
+            u_net_learning_rate=training_config.unet_learning_rate,
+            text_encoder_learning_rate=(
+                training_config.text_encoder_learning_rate
+            ),
+            lr_scheduler=training_config.lr_scheduler,
+            lr_warmup_steps=training_config.lr_warmup_steps,
+            lr_decay_steps=training_config.lr_decay_steps,
+        )
     trained_model_states = create_lion_optimizer_states(
         models=models,
         train_text_encoder=True,
         train_unet=True,
-        adam_to_lion_scale_factor=7,
+        **lr_kwargs,
         excluded_layer_pattern_from_weight_decay=(
             training_config.excluded_layer_pattern_from_weight_decay
         ),

@@ -345,3 +345,61 @@ class TestGradAccumulation:
             jax.tree.leaves(states[0].params), jax.tree.leaves(out[0].params)
         ):
             assert p_old.dtype == p_new.dtype
+
+
+class TestLRSchedules:
+    """New capability (gated): real LR schedules + honoring configured LRs.
+    The reference implements only constant and silently drops the configured
+    LRs (training_utils.py:355, 432-442) — default config keeps that quirk."""
+
+    def test_build_lr_schedule_constant(self):
+        from stable_diffusion_training_tpu.train import build_lr_schedule
+
+        s = build_lr_schedule(1e-4)
+        assert float(s(0)) == pytest.approx(1e-4)
+        assert float(s(10_000)) == pytest.approx(1e-4)
+
+    def test_build_lr_schedule_warmup_cosine(self):
+        from stable_diffusion_training_tpu.train import build_lr_schedule
+
+        s = build_lr_schedule(
+            1e-4, "warmup_cosine", warmup_steps=100, decay_steps=1000
+        )
+        assert float(s(0)) == pytest.approx(0.0)
+        assert float(s(100)) == pytest.approx(1e-4)
+        assert float(s(1000)) < float(s(500)) < float(s(100))
+
+    def test_build_lr_schedule_cosine_requires_decay(self):
+        from stable_diffusion_training_tpu.train import build_lr_schedule
+
+        with pytest.raises(ValueError):
+            build_lr_schedule(1e-4, "cosine")
+
+    def test_honor_learning_rates_changes_update_scale(self):
+        """Default (reference quirk): configured LRs ignored -> 1e-6 default;
+        honor_learning_rates forwards the 1e-4 config -> ~100x larger step."""
+        from stable_diffusion_training_tpu.train import (
+            create_lion_optimizer_states,
+            load_models,
+        )
+
+        def step_delta(honor):
+            cfg = make_config(
+                honor_learning_rates=honor,
+                quantize_unet_state=False,
+                quantize_text_encoder_state=False,
+            )
+            states = on_device_model_training_state(cfg)
+            unet_state = states[0]
+            grads = jax.tree_util.tree_map(
+                lambda p: jnp.ones_like(p), unet_state.params
+            )
+            new = unet_state.apply_gradients(grads=grads)
+            leaf = jax.tree_util.tree_leaves(unet_state.params)[0]
+            new_leaf = jax.tree_util.tree_leaves(new.params)[0]
+            return float(jnp.abs(new_leaf - leaf).max())
+
+        d_ref = step_delta(False)
+        d_honored = step_delta(True)
+        # reference path: lr 1e-6/7; honored: 1e-4/7 -> 100x bigger sign step
+        assert d_honored == pytest.approx(d_ref * 100, rel=1e-3)
