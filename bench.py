@@ -22,7 +22,9 @@ Also reported:
   chip peak (BASELINE.md north star is >=95% MXU utilization on the UNet);
 - ``ref_style_*``: the reference-style leg's numbers.
 
-Env overrides: BENCH_BATCH (default 8), BENCH_RES (default 512),
+Env overrides: BENCH_BATCH (default 12 — the best measured operating point
+on v5e: 13.5 img/s/chip MFU 24.1% vs 12.3/20.6% at batch 8; batch 16 OOMs
+16G HBM even with remat), BENCH_RES (default 512),
 BENCH_STEPS (default 10), BENCH_FAMILY (default sd15), BENCH_SKIP_REF=1
 (skip the reference-style leg; vs_baseline then falls back to the recorded
 round-1 anchor), BENCH_BASELINE (override that anchor),
@@ -102,6 +104,8 @@ def _build_config(family, batch, res, reference_style):
         # flash attention + fused Pallas Lion kernel
         attention_backend="xla" if reference_style else "auto",
         use_pallas_lion=False if reference_style else None,
+        # BENCH_GRAD_CKPT=1 remats the UNet blocks (bigger batches fit HBM)
+        gradient_checkpointing=os.environ.get("BENCH_GRAD_CKPT", "") == "1",
     )
 
 
@@ -213,7 +217,7 @@ def run_leg(family, batch, res, steps, reference_style):
 
 
 def main():
-    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    batch = int(os.environ.get("BENCH_BATCH", "12"))
     res = int(os.environ.get("BENCH_RES", "512"))
     steps = int(os.environ.get("BENCH_STEPS", "10"))
     family = os.environ.get("BENCH_FAMILY", "sd15")

@@ -44,9 +44,18 @@ def sdxl_time_ids(
     original_size,
     crop_coords,
     target_size,
+    aesthetic_score=None,
 ) -> np.ndarray:
-    """SDXL size/crop micro-conditioning ids ``(B, 6)``:
-    (orig_h, orig_w, crop_top, crop_left, target_h, target_w)."""
+    """SDXL micro-conditioning ids. Base model: ``(B, 6)``
+    (orig_h, orig_w, crop_top, crop_left, target_h, target_w). With
+    ``aesthetic_score`` set (refiner training): ``(B, 5)``
+    (orig_h, orig_w, crop_top, crop_left, aesthetic_score)."""
+    if aesthetic_score is not None:
+        row = np.array(
+            [[*original_size, *crop_coords, float(aesthetic_score)]],
+            dtype=np.float32,
+        )
+        return np.broadcast_to(row, (batch_size, 5)).copy()
     row = np.array(
         [[*original_size, *crop_coords, *target_size]], dtype=np.float32
     )
@@ -80,6 +89,7 @@ def cache_batches_to_dir(
     text_encoder_2=None,
     te2_params=None,
     context_window: int = 77,
+    aesthetic_score=None,
 ) -> List[str]:
     """Offline pass: encode every batch's pixels, write npz shards.
 
@@ -87,7 +97,8 @@ def cache_batches_to_dir(
     micro-conditioning (``pooled_text_embeds`` from the frozen second tower +
     size/crop ``time_ids``), making BASELINE config 5 runnable straight from
     the trainer (the train step consumes these keys,
-    ``train/train_step.py``)."""
+    ``train/train_step.py``). ``aesthetic_score`` switches the time ids to
+    the refiner's 5-element (size/crop/aesthetic) form."""
     os.makedirs(cache_dir, exist_ok=True)
     paths = []
     for i, batch in enumerate(batches):
@@ -102,7 +113,9 @@ def cache_batches_to_dir(
             extras["pooled_text_embeds"] = compute_pooled_text_embeds(
                 text_encoder_2, te2_params, first_windows, context_window
             )
-            extras["time_ids"] = sdxl_time_ids(b, (h, w), (0, 0), (h, w))
+            extras["time_ids"] = sdxl_time_ids(
+                b, (h, w), (0, 0), (h, w), aesthetic_score=aesthetic_score
+            )
         path = os.path.join(cache_dir, f"latents_{i:06d}.npz")
         np.savez(
             path,
@@ -164,6 +177,7 @@ def precompute_latent_cache(
     text_encoder_2=None,
     te2_params=None,
     context_window: int = 77,
+    aesthetic_score=None,
 ) -> CachedLatentLoader:
     """Drain a pixel loader through the VAE (and optionally the frozen SDXL
     second text encoder) into a cache; return the cached loader."""
@@ -186,5 +200,6 @@ def precompute_latent_cache(
         text_encoder_2=text_encoder_2,
         te2_params=te2_params,
         context_window=context_window,
+        aesthetic_score=aesthetic_score,
     )
     return CachedLatentLoader(cache_dir)

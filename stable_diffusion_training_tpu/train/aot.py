@@ -165,15 +165,18 @@ def dp_compile_all_unique_resolution(
             batch["attention_mask"] = jnp.zeros_like(batch["input_ids"])
             if training_config.sdxl_micro_conditioning:
                 cfg = unet_model.config
+                # 6 ids for the base model, 5 for the refiner (aesthetic
+                # score replaces the target size) — config.sdxl_time_ids_count
+                n_ids = training_config.sdxl_time_ids_count
                 pooled_dim = (
                     cfg.projection_class_embeddings_input_dim
-                    - 6 * cfg.addition_time_embed_dim
+                    - n_ids * cfg.addition_time_embed_dim
                 )
                 batch["pooled_text_embeds"] = jnp.zeros(
                     (training_config.batch_size, pooled_dim), jnp.float32
                 )
                 batch["time_ids"] = jnp.zeros(
-                    (training_config.batch_size, 6), jnp.float32
+                    (training_config.batch_size, n_ids), jnp.float32
                 )
         image_shape = batch_dispatch_key(batch)
         batch = jax.tree_util.tree_map(

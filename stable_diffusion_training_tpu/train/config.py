@@ -79,6 +79,9 @@ class TrainingConfig:
     grad_accumulation_steps: int = 1  # micro-batch accumulation (1 = off)
     use_latent_cache: bool = False  # batches carry latent_moments, VAE skipped
     sdxl_micro_conditioning: bool = False  # batches carry pooled embeds+time_ids
+    # number of micro-conditioning time ids: 6 for the SDXL base model
+    # (size/crop/target), 5 for the refiner (size/crop/aesthetic-score)
+    sdxl_time_ids_count: int = 6
     # bucket grid step. 64 = the reference grid (training_utils.py:134-174);
     # raising it (e.g. 128) quarters the number of aspect-ratio buckets and
     # therefore the number of AOT-compiled XLA programs, at slightly coarser

@@ -132,3 +132,94 @@ def test_refiner_rejects_bad_strength(tiny_refiner_pipeline):
     pipe, params = tiny_refiner_pipeline
     with pytest.raises(ValueError):
         pipe(_ids(), _image(), params, jax.random.PRNGKey(5), strength=0.0)
+
+
+def test_refiner_time_ids_layout():
+    from stable_diffusion_training_tpu.data.latent_cache import sdxl_time_ids
+
+    ids = sdxl_time_ids(3, (512, 512), (0, 0), (512, 512), aesthetic_score=6.0)
+    assert ids.shape == (3, 5) and ids.dtype == np.float32
+    np.testing.assert_array_equal(ids[0], [512, 512, 0, 0, 6.0])
+
+
+def test_latent_cache_refiner_conditioning(tmp_path):
+    from stable_diffusion_training_tpu.data import InMemoryDataLoader
+    from stable_diffusion_training_tpu.data.latent_cache import (
+        precompute_latent_cache,
+        sdxl_time_ids,
+    )
+    from stable_diffusion_training_tpu.models import AutoencoderKL
+
+    vae = AutoencoderKL(**configs.TINY_VAE, data_format="NHWC")
+    te2 = CLIPTextModelWithProjection(**configs.TINY_CLIP_PROJ)
+    rng = jax.random.PRNGKey(0)
+    loader = InMemoryDataLoader.synthetic(
+        2, 2, [(32, 32)], concat_count=3, vocab_size=1000, seed=0
+    )
+    cached = precompute_latent_cache(
+        loader, vae, vae.init(rng), str(tmp_path / "cache"),
+        text_encoder_2=te2, te2_params=te2.init(rng), aesthetic_score=6.0,
+    )
+    batch = cached.grab_next_batch()
+    np.testing.assert_array_equal(
+        batch["time_ids"],
+        sdxl_time_ids(2, (32, 32), (0, 0), (32, 32), aesthetic_score=6.0),
+    )
+
+
+@pytest.mark.slow
+def test_refiner_trainer_end_to_end(tmp_path, monkeypatch):
+    """Refiner training through the full trainer path: latent cache with
+    aesthetic-score time ids + frozen TE2 pooled embeds, 5-id text_time
+    UNet, AOT fused step."""
+    import json
+    import os
+
+    from stable_diffusion_training_tpu.core import mesh as mesh_lib
+    from stable_diffusion_training_tpu.data import InMemoryDataLoader
+    from stable_diffusion_training_tpu.data.latent_cache import (
+        precompute_latent_cache,
+    )
+    from stable_diffusion_training_tpu.models import AutoencoderKL
+    from stable_diffusion_training_tpu.train import trainer
+    from test_trainer import make_config_dict
+
+    monkeypatch.chdir(tmp_path)
+    base = str(tmp_path / "ckpt" / "refiner")
+    cfg = make_config_dict(
+        tmp_path,
+        model_path=base + "@0",
+        model_family="tiny_sdxl_refiner",
+        chunk_limit=1,
+        use_latent_cache=True,
+        sdxl_micro_conditioning=True,
+        sdxl_time_ids_count=5,  # refiner: size/crop/aesthetic
+        train_text_encoder=False,
+        image_area_root=[64],
+        minimum_axis_length=[64],
+        batch_size=2,
+        loss_logging_interval=1,
+    )
+    config_path = str(tmp_path / "props.json")
+    with open(config_path, "w") as f:
+        json.dump(cfg, f)
+
+    vae = AutoencoderKL(**configs.TINY_VAE, data_format="NHWC")
+    te2 = CLIPTextModelWithProjection(**configs.TINY_CLIP_PROJ)
+    rng = jax.random.PRNGKey(0)
+    loader = InMemoryDataLoader.synthetic(
+        2, 2, [(64, 64)], concat_count=3, vocab_size=1000, seed=0
+    )
+    cached = precompute_latent_cache(
+        loader, vae, vae.init(rng), str(tmp_path / "cache"),
+        text_encoder_2=te2, te2_params=te2.init(rng), aesthetic_score=6.0,
+    )
+    mesh = mesh_lib.create_mesh(shape=(2, 1), devices=jax.devices()[:2])
+    trainer.main(
+        config_dict_path=config_path, dataloader=cached, tokenizer=None,
+        mesh=mesh,
+    )
+    with open(cfg["loss_csv"]) as f:
+        rows = [l for l in f.read().splitlines()[1:] if l]
+    assert rows and all(np.isfinite(float(r.split(",")[2])) for r in rows)
+    assert os.path.isdir(f"{base}@0/unet")
