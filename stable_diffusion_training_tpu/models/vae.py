@@ -65,6 +65,7 @@ class VaeAttentionBlock(nn.Module):
     channels: int
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
+    attention_backend: str = "auto"
 
     @nn.compact
     def __call__(self, hidden_states):
@@ -85,7 +86,10 @@ class VaeAttentionBlock(nn.Module):
         q = dense("query")(hidden_states)[:, :, None, :]
         k = dense("key")(hidden_states)[:, :, None, :]
         v = dense("value")(hidden_states)[:, :, None, :]
-        out = attention(q, k, v, backend="xla")[:, :, 0, :]
+        # auto: flash for >=2048 spatial tokens (>=384² inputs) — avoids
+        # materializing the (S, S) f32 logits (805 MB/batch-12 at 512²);
+        # the frozen-VAE training path only ever runs this forward
+        out = attention(q, k, v, backend=self.attention_backend)[:, :, 0, :]
         out = dense("proj_attn")(out)
         return out.reshape(b, h, w, c) + residual
 
@@ -147,6 +151,7 @@ class VaeMidBlock(nn.Module):
     channels: int
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
+    attention_backend: str = "auto"
 
     @nn.compact
     def __call__(self, sample, deterministic: bool = True):
@@ -160,6 +165,7 @@ class VaeMidBlock(nn.Module):
             self.channels,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
+            attention_backend=self.attention_backend,
             name="attentions_0",
         )(sample)
         return ResnetBlock2D(
@@ -176,6 +182,7 @@ class Encoder(nn.Module):
     latent_channels: int
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
+    attention_backend: str = "auto"
 
     @nn.compact
     def __call__(self, sample, deterministic: bool = True):
@@ -202,6 +209,7 @@ class Encoder(nn.Module):
             self.block_out_channels[-1],
             dtype=self.dtype,
             param_dtype=self.param_dtype,
+            attention_backend=self.attention_backend,
             name="mid_block",
         )(sample, deterministic=deterministic)
 
@@ -229,6 +237,7 @@ class Decoder(nn.Module):
     out_channels: int
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
+    attention_backend: str = "auto"
 
     @nn.compact
     def __call__(self, latents, deterministic: bool = True):
@@ -246,6 +255,7 @@ class Decoder(nn.Module):
             mid_ch,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
+            attention_backend=self.attention_backend,
             name="mid_block",
         )(sample, deterministic=deterministic)
 
@@ -287,6 +297,7 @@ class VaeCore(nn.Module):
     latent_channels: int = 4
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
+    attention_backend: str = "auto"
 
     def setup(self):
         self.encoder = Encoder(
@@ -295,6 +306,7 @@ class VaeCore(nn.Module):
             latent_channels=self.latent_channels,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
+            attention_backend=self.attention_backend,
         )
         self.decoder = Decoder(
             block_out_channels=self.block_out_channels,
@@ -302,6 +314,7 @@ class VaeCore(nn.Module):
             out_channels=self.out_channels,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
+            attention_backend=self.attention_backend,
         )
         self.quant_conv = nn.Conv(
             2 * self.latent_channels,
@@ -348,6 +361,7 @@ class AutoencoderKL(ConfigurableMixin):
         dtype: jnp.dtype = jnp.float32,
         param_dtype: jnp.dtype = jnp.float32,
         data_format: str = "NCHW",
+        attention_backend: str = "auto",
     ):
         self._register_config(dict(locals()))
         assert data_format in ("NCHW", "NHWC")
@@ -361,9 +375,10 @@ class AutoencoderKL(ConfigurableMixin):
             latent_channels=latent_channels,
             dtype=dtype,
             param_dtype=param_dtype,
+            attention_backend=attention_backend,
         )
 
-    ignore_for_config = ("dtype", "param_dtype", "data_format")
+    ignore_for_config = ("dtype", "param_dtype", "data_format", "attention_backend")
 
     def init(self, rng, batch_size: int = 1, resolution: int = 32):
         sample = jnp.zeros((batch_size, resolution, resolution, 3), self.dtype)

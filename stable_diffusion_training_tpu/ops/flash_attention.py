@@ -335,6 +335,34 @@ def _flash_bwd(scale, block_q, block_k, interpret, residuals, g):
 _flash.defvjp(_flash_fwd, _flash_bwd)
 
 
+_VMEM_BUDGET = 12 * 1024 * 1024  # leave headroom under the 16 MB scoped limit
+
+
+def _fit_blocks_to_vmem(block_q: int, block_k: int, d: int):
+    """Shrink tile sizes until the kernel's VMEM footprint fits.
+
+    Estimate (fwd, which matches the bwd kernels' shape): double-buffered
+    q/k/v/do input tiles + output tile (bf16), two (bq, bk) f32 logits
+    buffers, f32 accumulator + softmax stats. Large head dims (the VAE's
+    single-head d=512 mid-block) overflow the 16 MB scoped VMEM with the
+    default 1024x1024 tiles — observed as a Mosaic scoped-allocation error.
+    """
+    dp = _ceil_to(d, 128)
+
+    def est(bq, bk):
+        inputs = 2 * (bq * dp + 2 * bk * dp + bq * dp) * 2  # dbl-buffered bf16
+        logits = 2 * bq * bk * 4
+        acc = bq * dp * 4 + 2 * bq * 128 * 4 + bq * dp * 2
+        return inputs + logits + acc
+
+    while est(block_q, block_k) > _VMEM_BUDGET and max(block_q, block_k) > 256:
+        if block_q >= block_k:
+            block_q //= 2
+        else:
+            block_k //= 2
+    return block_q, block_k
+
+
 def flash_attention(
     query: jnp.ndarray,
     key: jnp.ndarray,
@@ -354,6 +382,7 @@ def flash_attention(
     b, sq, h, d = query.shape
     block_q = min(block_q, _ceil_to(sq, 128))
     block_k = min(block_k, _ceil_to(key.shape[1], 128))
+    block_q, block_k = _fit_blocks_to_vmem(block_q, block_k, d)
 
     q3 = _fold_heads(query)
     k3 = _fold_heads(key)

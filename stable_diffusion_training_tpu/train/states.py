@@ -88,7 +88,11 @@ def load_models(training_config: TrainingConfig) -> dict:
             attention_backend=training_config.attention_backend,
             **common,
         )
-        vae = AutoencoderKL.from_config(vae_cfg, **common)
+        vae = AutoencoderKL.from_config(
+            vae_cfg,
+            attention_backend=training_config.attention_backend,
+            **common,
+        )
         text_encoder = CLIPTextModel.from_config(
             te_cfg, dtype=dtype, param_dtype=dtype
         )
@@ -110,7 +114,11 @@ def load_models(training_config: TrainingConfig) -> dict:
             attention_backend=training_config.attention_backend,
             **common,
         )
-        vae = AutoencoderKL(**family["vae"], **common)
+        vae = AutoencoderKL(
+            **family["vae"],
+            attention_backend=training_config.attention_backend,
+            **common,
+        )
         text_encoder = CLIPTextModel(**family["text_encoder"], dtype=dtype, param_dtype=dtype)
         # init on the default device (NOT the CPU context): init traces the
         # forward pass, and the Pallas attention kernel must run where the
