@@ -21,10 +21,11 @@ class MetricsWriter:
     def __init__(self, log_dir: Optional[str] = None):
         self._writer = None
         if log_dir:
-            # torch's SummaryWriter is the lightest TB writer in this image
-            from torch.utils.tensorboard import SummaryWriter
+            # self-contained event-file writer (tb_events): this image has
+            # no tensorboard package, and scalars don't need one
+            from .tb_events import EventFileWriter
 
-            self._writer = SummaryWriter(log_dir=log_dir)
+            self._writer = EventFileWriter(log_dir)
 
     @property
     def active(self) -> bool:
