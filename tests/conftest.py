@@ -21,8 +21,18 @@ import jax  # noqa: E402  (import after env setup)
 jax.config.update("jax_platforms", "cpu")
 # persistent XLA compile cache shared by the whole suite: the fused train
 # step compiles once per (shape, statics) across ALL test sessions — the
-# single biggest lever for suite wall-clock on 1-core CI boxes
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_pytest")
+# single biggest lever for suite wall-clock on 1-core CI boxes. Repo-local
+# (gitignored) so it survives /tmp wipes between sessions on the same box.
+_cache_dir = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".cache",
+    "jax_pytest",
+)
+try:
+    os.makedirs(_cache_dir, exist_ok=True)
+except OSError:
+    _cache_dir = "/tmp/jax_cache_pytest"
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import pytest  # noqa: E402

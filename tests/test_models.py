@@ -184,6 +184,8 @@ class TestCLIP:
         np.testing.assert_allclose(h1[0, :50], h2[0, :50], atol=1e-5)
         assert not np.allclose(h1[0, 50:], h2[0, 50:], atol=1e-5)
 
+    @pytest.mark.slow
+
     def test_parity_vs_torch_transformers(self, rng):
         """Golden parity: our CLIP tower == transformers' PyTorch
         CLIPTextModel on converted weights (fp32, random init)."""
@@ -273,6 +275,8 @@ class TestCLIPWithProjection:
         assert out[1].shape == (2, 77, 32)  # last_hidden_state
         hs = te2(ids, params=params, output_hidden_states=True)
         assert len(hs.hidden_states) == configs.TINY_CLIP["num_hidden_layers"] + 1
+
+    @pytest.mark.slow
 
     def test_parity_vs_torch_with_projection(self, rng):
         """Pooling position + projection match PyTorch transformers."""

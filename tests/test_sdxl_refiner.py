@@ -6,6 +6,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy pipeline fixtures; run with -m slow
+
 from stable_diffusion_training_tpu.diffusion import DDIMScheduler
 from stable_diffusion_training_tpu.models import (
     AutoencoderKL,

@@ -190,6 +190,8 @@ class TestTrainStep:
             losses.append(float(out[4]["loss"]))
         assert len(set(np.round(losses, 8))) == len(losses), losses
 
+    @pytest.mark.slow
+
     def test_ema_semantics(self, tiny_states):
         """EMA must equal rate*old + (1-rate)*new_params after one step."""
         _, states = tiny_states
@@ -297,6 +299,8 @@ class TestCheckpoint:
         ):
             assert os.path.exists(os.path.join(out, sub)), sub
 
+    @pytest.mark.slow
+
     def test_checkpoint_roundtrip_into_models(self, tiny_states, tmp_path):
         """Save -> load_models -> identical forward output."""
         _, states = tiny_states
@@ -374,6 +378,8 @@ class TestLRSchedules:
 
         with pytest.raises(ValueError):
             build_lr_schedule(1e-4, "cosine")
+
+    @pytest.mark.slow
 
     def test_honor_learning_rates_changes_update_scale(self):
         """Default (reference quirk): configured LRs ignored -> 1e-6 default;
