@@ -11,11 +11,20 @@ the (default, and only config-used) f32 scale dtype — verified by parity
 tests. Non-f32 ``mu_scale_dtype`` would differ in the low bits.
 
 Layout: a flat parameter of N elements with quantization block size ``bs``
-is viewed as ``(N/bs, bs)`` blocks. The kernel tiles rows of blocks; the last
-dim equals the full block size so every tile is TPU-legal for any ``bs``.
-For the config's ``bs=16`` the VPU lanes are underfilled — the XLA-fused jnp
-path is often at parity there; this kernel is the dedicated fast path for
-``bs >= 128`` and the single-pass HBM-traffic floor either way.
+is viewed as ``(N/bs, bs)`` blocks. Two kernel layouts, both
+bitwise-identical to the jnp path for f32 scales:
+
+- **narrow** (default): rows of whole blocks, last dim = ``bs``. Measured
+  fastest on v5e at every block size (PERF_NOTES.md round-2 A/B).
+- **wide** (opt-in ``layout="wide"``, ``bs`` < 128 dividing 128): the flat
+  array is viewed as ``(N/128, 128)`` so every VPU lane is nominally live;
+  per-block absmax is a roll-tree lane-group max and scale expand/pick are
+  one-hot MXU matmuls (Mosaic cannot shape-cast (r,128)<->(r,gpr,bs)).
+  Measured SLOWER than narrow on v5e (72.8 vs 69.7 ms at bs=16, 70.0 vs
+  53.2 at bs=64, same session/regime): Mosaic's native handling of
+  small-minor-dim tiles beats the extra rotations/matmuls, so the
+  lane-padding analysis did not survive contact with the hardware. Kept
+  opt-in for re-evaluation on uncapped chips.
 """
 
 import functools
@@ -41,6 +50,59 @@ def _dequantize(q, dtype):
     return ((q / 127) ** 5).astype(dtype) - _ZERO_CROSSING_OFFSET
 
 
+def _lion_kernel_wide(g_ref, codes_ref, scales_ref, upd_ref, new_codes_ref,
+                      new_scales_ref, *, b1, b2, bs):
+    """Full-lane layout: refs are (rows, 128) views of the flat array and
+    (rows, 128/bs) for the per-block scales.
+
+    Mosaic can't shape-cast (rows,128)<->(rows,gpr,bs), so cross-lane block
+    ops stay in 2D: per-block absmax is a roll-tree max (log2(bs) lane
+    rotations each way), and (rows,gpr)<->(rows,128) scale expand/pick are
+    one-hot MXU matmuls at HIGHEST precision (exact for f32: each output is
+    a single f32 picked by a 1.0)."""
+    rows = g_ref.shape[0]
+    gpr = 128 // bs  # blocks (groups) per row
+
+    # E_expand[g, l] = 1 iff lane l belongs to group g; E_pick = transpose
+    grp_of_lane = jax.lax.broadcasted_iota(jnp.int32, (gpr, 128), 1) // bs
+    grp_idx = jax.lax.broadcasted_iota(jnp.int32, (gpr, 128), 0)
+    e_expand = (grp_of_lane == grp_idx).astype(jnp.float32)
+
+    def expand(s):  # (rows, gpr) -> (rows, 128), each scale repeated bs times
+        return jax.lax.dot_general(
+            s, e_expand, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    e_pick = (
+        jax.lax.broadcasted_iota(jnp.int32, (128, gpr), 0)
+        == bs * jax.lax.broadcasted_iota(jnp.int32, (128, gpr), 1)
+    ).astype(jnp.float32)
+
+    def group_max(x):  # (rows, 128) -> (rows, gpr) per-bs-lane-group max
+        y = x
+        shift = 1
+        while shift < bs:  # max over the cyclic window [l, l+bs-1]
+            y = jnp.maximum(y, jnp.roll(y, -shift, axis=1))
+            shift *= 2
+        # lane bs*g holds the exact group max; select it (one-hot, exact)
+        return jax.lax.dot_general(
+            y, e_pick, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    g = g_ref[:].astype(jnp.float32)
+    mu = _dequantize(codes_ref[:], jnp.float32) / expand(scales_ref[:])
+
+    upd_ref[:] = jnp.sign((1.0 - b1) * g + b1 * mu).astype(upd_ref.dtype)
+
+    mu_new = (1.0 - b2) * g + b2 * mu
+    absmax = group_max(jnp.abs(mu_new))  # (rows, gpr)
+    scales = 1.0 / jnp.where(absmax <= 0.0, 1.0, absmax)
+    new_codes_ref[:] = _quantize(mu_new * expand(scales))
+    new_scales_ref[:] = scales.astype(new_scales_ref.dtype)
+
+
 def _lion_kernel(g_ref, codes_ref, scales_ref, upd_ref, new_codes_ref,
                  new_scales_ref, *, b1, b2, mu_dtype):
     g = g_ref[:].astype(jnp.float32)  # (rows, bs)
@@ -64,17 +126,25 @@ def fused_lion8bit_update(
     mu_scale_dtype=jnp.float32,
     rows_per_tile: int = _DEFAULT_ROWS,
     interpret: bool = None,
+    layout: str = "narrow",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Fused update for one quantized leaf.
 
     ``grad``: any shape with ``grad.size == codes.size``; ``codes``:
     ``(n_blocks, bs)`` int8; ``scales``: ``(n_blocks, 1)``. Returns
     ``(update_sign, new_codes, new_scales)`` with ``update_sign`` reshaped to
-    ``grad.shape``.
+    ``grad.shape``. ``layout``: "narrow" (default, fastest measured) or
+    "wide" (full-lane experiment, see module docstring).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     nb, bs = codes.shape
+    if layout == "wide" and bs < 128 and 128 % bs == 0:
+        return _fused_wide(
+            grad, codes, scales, b1=b1, b2=b2,
+            mu_scale_dtype=mu_scale_dtype, rows_per_tile=rows_per_tile,
+            interpret=interpret,
+        )
     g2 = grad.reshape(nb, bs)
 
     rows = min(rows_per_tile, nb)
@@ -112,3 +182,65 @@ def fused_lion8bit_update(
     if pad:
         upd, new_codes, new_scales = upd[:nb], new_codes[:nb], new_scales[:nb]
     return upd.reshape(grad.shape), new_codes, new_scales
+
+
+def _fused_wide(
+    grad, codes, scales, *, b1, b2, mu_scale_dtype, rows_per_tile, interpret
+):
+    """Wide-layout dispatch: view the flat array as (N/128, 128) so all VPU
+    lanes are live at small block sizes (the config's bs=16 fills 16/128
+    lanes in the narrow layout). Free at the HBM level — codes/grads are
+    contiguous, so the reshape is a no-op relayout of the same bytes."""
+    nb, bs = codes.shape
+    gpr = 128 // bs
+
+    # pad the block count so rows of 128 divide evenly
+    row_pad = (-nb) % gpr
+    if row_pad:
+        codes = jnp.pad(codes, ((0, row_pad), (0, 0)))
+        scales = jnp.pad(scales, ((0, row_pad), (0, 0)), constant_values=1.0)
+    nbp = nb + row_pad
+    rows_total = nbp // gpr
+
+    g2 = jnp.pad(grad.reshape(-1), (0, row_pad * bs)).reshape(rows_total, 128)
+    codes_w = codes.reshape(rows_total, 128)
+    scales_w = scales.reshape(rows_total, gpr)
+
+    rows = min(rows_per_tile, rows_total)
+    tile_pad = (-rows_total) % rows
+    if tile_pad:
+        g2 = jnp.pad(g2, ((0, tile_pad), (0, 0)))
+        codes_w = jnp.pad(codes_w, ((0, tile_pad), (0, 0)))
+        scales_w = jnp.pad(
+            scales_w, ((0, tile_pad), (0, 0)), constant_values=1.0
+        )
+    rt = rows_total + tile_pad
+
+    kernel = functools.partial(
+        _lion_kernel_wide, b1=float(b1), b2=float(b2), bs=bs
+    )
+    upd, new_codes, new_scales = pl.pallas_call(
+        kernel,
+        grid=(rt // rows,),
+        in_specs=[
+            pl.BlockSpec((rows, 128), lambda i: (i, 0)),
+            pl.BlockSpec((rows, 128), lambda i: (i, 0)),
+            pl.BlockSpec((rows, gpr), lambda i: (i, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((rows, 128), lambda i: (i, 0)),
+            pl.BlockSpec((rows, 128), lambda i: (i, 0)),
+            pl.BlockSpec((rows, gpr), lambda i: (i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((rt, 128), grad.dtype),
+            jax.ShapeDtypeStruct((rt, 128), jnp.int8),
+            jax.ShapeDtypeStruct((rt, gpr), jnp.dtype(mu_scale_dtype)),
+        ],
+        interpret=interpret,
+    )(g2, codes_w, scales_w)
+
+    upd = upd.reshape(-1)[: grad.size].reshape(grad.shape)
+    new_codes = new_codes.reshape(-1, bs)[:nb]
+    new_scales = new_scales.reshape(-1, 1)[:nb]
+    return upd, new_codes, new_scales

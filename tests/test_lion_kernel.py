@@ -22,9 +22,10 @@ def _reference_leaf_update(g, codes, scales, b1, b2, block_size):
     return upd["w"], new_codes, new_scales
 
 
+@pytest.mark.parametrize("layout", ["narrow", "wide"])
 @pytest.mark.parametrize("block_size", [16, 64, 128])
 @pytest.mark.parametrize("n", [2048, 2000 * 16])
-def test_fused_matches_optax(block_size, n):
+def test_fused_matches_optax(block_size, n, layout):
     if n % block_size:
         n = (n // block_size) * block_size
     rng = np.random.RandomState(0)
@@ -43,7 +44,7 @@ def test_fused_matches_optax(block_size, n):
         g, codes, scales, 0.9, 0.99, block_size
     )
     out_upd, out_codes, out_scales = fused_lion8bit_update(
-        g, codes, scales, b1=0.9, b2=0.99, interpret=True
+        g, codes, scales, b1=0.9, b2=0.99, interpret=True, layout=layout
     )
 
     np.testing.assert_array_equal(np.asarray(out_upd), np.asarray(ref_upd))
@@ -95,4 +96,36 @@ def test_transform_pallas_matches_jnp_path():
     )
     np.testing.assert_allclose(
         np.asarray(s_j.mu_quant["b"]), np.asarray(s_p.mu_quant["b"]), atol=1e-7
+    )
+
+
+@pytest.mark.parametrize("n_blocks", [13, 257])  # 13 % 8 != 0 -> row padding
+def test_wide_layout_ragged_block_count(n_blocks):
+    """The opt-in full-lane (N/128, 128) layout; block counts that
+    don't fill a whole 128-lane row must pad and slice back exactly."""
+    bs = 16
+    n = n_blocks * bs
+    rng = np.random.RandomState(1)
+    g = jnp.asarray(rng.randn(n).astype(np.float32) * 1e-3)
+    mu = jnp.asarray(rng.randn(n).astype(np.float32) * 1e-4)
+    blocks = mu.reshape(-1, bs)
+    absmax = jnp.max(jnp.abs(blocks), axis=-1, keepdims=True)
+    scales = 1 / jnp.where(absmax <= 0, 1.0, absmax)
+    from stable_diffusion_training_tpu.ops.lion_kernel import _quantize
+
+    codes = _quantize(blocks * scales)
+
+    ref_upd, ref_codes, ref_scales = _reference_leaf_update(
+        g, codes, scales, 0.9, 0.99, bs
+    )
+    out_upd, out_codes, out_scales = fused_lion8bit_update(
+        g, codes, scales, b1=0.9, b2=0.99, interpret=True, rows_per_tile=8,
+        layout="wide",
+    )
+    assert out_codes.shape == (n_blocks, bs)
+    assert out_scales.shape == (n_blocks, 1)
+    np.testing.assert_array_equal(np.asarray(out_upd), np.asarray(ref_upd))
+    np.testing.assert_array_equal(np.asarray(out_codes), np.asarray(ref_codes))
+    np.testing.assert_allclose(
+        np.asarray(out_scales), np.asarray(ref_scales), rtol=1e-6
     )
