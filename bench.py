@@ -161,25 +161,36 @@ def run_leg(family, batch, res, steps, reference_style):
         ema_rate=0.0,
     )
 
-    def run_one(unet_state, te_state, rng):
-        return step(
-            unet_state, te_state, None, None, b, rng,
-            frozen_vae, frozen_sched, **static_kwargs,
-        )
-
-    # XLA's own FLOP count for the whole compiled step (fwd+bwd+optimizer)
+    # compile ONCE via lower().compile() and reuse the same executable for
+    # both cost analysis and the timed runs (calling the jit wrapper after
+    # a .lower() would trace+compile the identical program a second time)
+    compiled = None
     flops_per_step = None
     try:
         lowered = step.lower(
             unet_state, te_state, None, None, b, jax.random.PRNGKey(0),
             frozen_vae, frozen_sched, **static_kwargs,
         )
-        cost = lowered.compile().cost_analysis()
+        compiled = lowered.compile()
+        cost = compiled.cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
         flops_per_step = float(cost.get("flops", 0.0)) or None
     except Exception:
-        pass
+        compiled = None
+
+    if compiled is not None:
+        def run_one(unet_state, te_state, rng):
+            return compiled(
+                unet_state, te_state, None, None, b, rng,
+                frozen_vae, frozen_sched,
+            )
+    else:
+        def run_one(unet_state, te_state, rng):
+            return step(
+                unet_state, te_state, None, None, b, rng,
+                frozen_vae, frozen_sched, **static_kwargs,
+            )
 
     rng = jax.random.PRNGKey(0)
     # warmup / compile; float() forces a full device->host sync (plain

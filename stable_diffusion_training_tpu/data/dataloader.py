@@ -155,9 +155,11 @@ class DataLoader:
         # all hosts dispatch the same compiled programs in lockstep) but
         # decodes only its slice; the trainer assembles global arrays via
         # core.distributed.put_global_batch
-        assert training_batch_size % process_count == 0, (
-            training_batch_size, process_count,
-        )
+        if training_batch_size % process_count:
+            raise ValueError(
+                f"training_batch_size={training_batch_size} must divide "
+                f"evenly across process_count={process_count} hosts"
+            )
         self.process_index = process_index
         self.process_count = process_count
         self.local_batch_size = training_batch_size // process_count
@@ -181,6 +183,13 @@ class DataLoader:
         self._producers_done = threading.Event()
         self._outstanding = 0
         self._outstanding_lock = threading.Lock()
+        # multi-process lockstep (pods): workers finish in nondeterministic
+        # order, so batches are released to the consumer queue strictly in
+        # plan order via a reorder buffer — every host then steps through
+        # the identical logical batch sequence
+        self._reorder: dict = {}
+        self._next_emit = 0
+        self._reorder_lock = threading.Lock()
 
         os.makedirs(ramdisk_path, exist_ok=True)
 
@@ -385,7 +394,18 @@ class DataLoader:
                     return
                 continue
             batch = self._build_batch(item, rng)
-            if batch is not None:
+            if self.process_count > 1:
+                # ordered emission: park out-of-order results, flush the
+                # contiguous prefix (a None slot still advances the cursor
+                # so hosts cannot desynchronize on it)
+                with self._reorder_lock:
+                    self._reorder[item["seq"]] = batch
+                    while self._next_emit in self._reorder:
+                        ready = self._reorder.pop(self._next_emit)
+                        self._next_emit += 1
+                        if ready is not None:
+                            self._queue.put(ready)
+            elif batch is not None:
                 self._queue.put(batch)
             with self._outstanding_lock:
                 self._outstanding -= 1
@@ -401,7 +421,18 @@ class DataLoader:
             row = df.iloc[idx]
             arr = load_and_bucket_image(row["filepath"], wh)
             if arr is None:
-                continue
+                if self.process_count > 1:
+                    # a per-host skip would desynchronize the pod's batch
+                    # sequence (other hosts decode their slices fine and
+                    # step; the collective hangs) — substitute a blank
+                    # image deterministically instead
+                    self._debug(
+                        f"decode failed for {row['filepath']}; substituting "
+                        "blank image to keep hosts in lockstep"
+                    )
+                    arr = np.zeros((3, int(wh[1]), int(wh[0])), np.float32)
+                else:
+                    continue
             repo_cfg = self.config.get("repo", {}).get(row["repo_key"], {})
             captions.append(
                 _shuffle_and_drop_tags(
@@ -429,8 +460,11 @@ class DataLoader:
         self._producers_done.clear()
         with self._outstanding_lock:
             self._outstanding = len(self._batches)
-        for item in self._batches:
-            self._work_queue.put(item)
+        with self._reorder_lock:
+            self._reorder.clear()
+            self._next_emit = 0
+        for seq, item in enumerate(self._batches):
+            self._work_queue.put({**item, "seq": seq})
         self._producers_done.set()
         self._workers = []
         for _ in range(self.num_workers):

@@ -12,6 +12,7 @@ Cached batches carry ``latent_moments`` (NCHW) instead of ``pixel_values``;
 ``train_step`` detects the key and skips the VAE (train/train_step.py).
 """
 
+import functools
 import os
 from typing import Dict, Iterable, List
 
@@ -62,23 +63,37 @@ def sdxl_time_ids(
     return np.broadcast_to(row, (batch_size, 6)).copy()
 
 
+@functools.partial(jax.jit, static_argnums=(0,))
+def _pool_text_embeds(text_encoder_2, te2_params, window_ids):
+    # module-level jit: cache_batches_to_dir calls once per batch; a
+    # closure-local @jax.jit would recompile the TE2 forward every call
+    return text_encoder_2(window_ids, params=te2_params).text_embeds
+
+
 def compute_pooled_text_embeds(
     text_encoder_2, te2_params, input_ids, context_window: int = 77
 ) -> np.ndarray:
     """Pooled/projected embeds from the frozen second text encoder (SDXL's
-    ``text_embeds`` micro-conditioning). The loader's ids arrive as
-    ``(B*concat, win)`` or ``(B, concat*win)``; SDXL pools from the FIRST
-    77-token window only (both SDXL tokenizers share the CLIP BPE vocab)."""
+    ``text_embeds`` micro-conditioning), shape ``(B, projection_dim)``.
+
+    SDXL pools from the FIRST 77-token window of each sample only (both
+    SDXL tokenizers share the CLIP BPE vocab). Accepts ids as ``(B, win)``
+    (already first-window), ``(B, concat*win)``, or ``(B, concat, win)``;
+    a flat ``(B*concat, win)`` batch is ambiguous — reshape it to one of
+    the above at the call site."""
     ids = np.asarray(input_ids)
-    if ids.ndim == 2 and ids.shape[1] > context_window:
-        ids = ids.reshape(-1, context_window)
-    first = ids.reshape(-1, ids.shape[-1])
-
-    @jax.jit
-    def _pool(window_ids):
-        return text_encoder_2(window_ids, params=te2_params).text_embeds
-
-    return np.asarray(_pool(jnp.asarray(first, jnp.int32)))
+    if ids.ndim == 3:
+        ids = ids[:, 0, :]
+    elif ids.ndim == 2 and ids.shape[1] > context_window:
+        if ids.shape[1] % context_window:
+            raise ValueError(
+                f"ids width {ids.shape[1]} is not a multiple of the "
+                f"{context_window}-token window"
+            )
+        ids = ids.reshape(ids.shape[0], -1, context_window)[:, 0, :]
+    return np.asarray(
+        _pool_text_embeds(text_encoder_2, te2_params, jnp.asarray(ids, jnp.int32))
+    )
 
 
 def cache_batches_to_dir(

@@ -16,6 +16,47 @@ import jax.numpy as jnp
 from .stable_diffusion import DEBUG, StableDiffusionPipeline
 
 
+def export_text_encoder_2(text_encoder_2, te2_params, save_directory) -> None:
+    """Write ``text_encoder_2/`` in diffusers layout (HF config.json +
+    torch-keyed safetensors). Shared by the SDXL and refiner pipelines so
+    the key mapping lives in exactly one place."""
+    import json
+    import os
+
+    from ..models import hf_io
+    from ..train.checkpoint import _to_numpy_f32
+
+    te2_dir = os.path.join(save_directory, "text_encoder_2")
+    os.makedirs(te2_dir, exist_ok=True)
+    cfg = dict(text_encoder_2.config.to_dict())
+    cfg.update(
+        {
+            "architectures": ["CLIPTextModelWithProjection"],
+            "model_type": "clip_text_model",
+            "torch_dtype": "float32",
+        }
+    )
+    with open(os.path.join(te2_dir, "config.json"), "w") as f:
+        json.dump(cfg, f, indent=2, sort_keys=True)
+
+    sd = hf_io.flax_params_to_torch_state_dict(_to_numpy_f32(te2_params))
+
+    # invert the load-side folding: text_model.{token,position}_embedding
+    # -> text_model.embeddings.*, text_model.layers -> encoder.layers
+    def _rekey(k: str) -> str:
+        k = k.replace("text_model.token_embedding",
+                      "text_model.embeddings.token_embedding")
+        k = k.replace("text_model.position_embedding",
+                      "text_model.embeddings.position_embedding")
+        return k.replace("text_model.layers.", "text_model.encoder.layers.")
+
+    hf_io.save_safetensors(
+        {_rekey(k): v for k, v in sd.items()},
+        os.path.join(te2_dir, "model.safetensors"),
+        metadata={"format": "pt"},
+    )
+
+
 class StableDiffusionXLPipeline(StableDiffusionPipeline):
     """Adds tokenizer_2/text_encoder_2 and text_time conditioning."""
 
@@ -96,41 +137,11 @@ class StableDiffusionXLPipeline(StableDiffusionPipeline):
         return pipe, params
 
     def save_pretrained(self, save_directory: str, params) -> None:
-        import json
         import os
 
         super().save_pretrained(save_directory, params)
-        te2_dir = os.path.join(save_directory, "text_encoder_2")
-        os.makedirs(te2_dir, exist_ok=True)
-        cfg = dict(self.text_encoder_2.config.to_dict())
-        cfg.update(
-            {
-                "architectures": ["CLIPTextModelWithProjection"],
-                "model_type": "clip_text_model",
-                "torch_dtype": "float32",
-            }
-        )
-        with open(os.path.join(te2_dir, "config.json"), "w") as f:
-            json.dump(cfg, f, indent=2, sort_keys=True)
-        from ..models import hf_io
-        from ..train.checkpoint import _to_numpy_f32
-
-        sd = hf_io.flax_params_to_torch_state_dict(
-            _to_numpy_f32(params["text_encoder_2"])
-        )
-        # invert the load-side folding: text_model.{token,position}_embedding
-        # -> text_model.embeddings.*, text_model.layers -> encoder.layers
-        def _rekey(k: str) -> str:
-            k = k.replace("text_model.token_embedding",
-                          "text_model.embeddings.token_embedding")
-            k = k.replace("text_model.position_embedding",
-                          "text_model.embeddings.position_embedding")
-            return k.replace("text_model.layers.", "text_model.encoder.layers.")
-
-        hf_io.save_safetensors(
-            {_rekey(k): v for k, v in sd.items()},
-            os.path.join(te2_dir, "model.safetensors"),
-            metadata={"format": "pt"},
+        export_text_encoder_2(
+            self.text_encoder_2, params["text_encoder_2"], save_directory
         )
         if self.tokenizer_2 is not None:
             self.tokenizer_2.save_pretrained(

@@ -141,16 +141,14 @@ class StableDiffusionXLImg2ImgPipeline(StableDiffusionXLPipeline):
         import json
         import os
 
-        from ..diffusion import DDIMScheduler
         from ..models import hf_io
         from ..train.checkpoint import _to_numpy_f32
+        from .sdxl import export_text_encoder_2
 
         os.makedirs(save_directory, exist_ok=True)
-        scheduler = DDIMScheduler(
-            beta_start=0.00085, beta_end=0.012, beta_schedule="scaled_linear",
-            num_train_timesteps=1000, prediction_type="v_prediction",
-        )
-        scheduler.save_config(os.path.join(save_directory, "scheduler"))
+        # the pipeline's OWN scheduler config (a loaded epsilon-prediction
+        # refiner must round-trip as epsilon, not a hardcoded default)
+        self.scheduler.save_config(os.path.join(save_directory, "scheduler"))
 
         unet_dir = os.path.join(save_directory, "unet")
         self.unet.save_config(unet_dir)
@@ -159,33 +157,8 @@ class StableDiffusionXLImg2ImgPipeline(StableDiffusionXLPipeline):
         self.vae.save_config(vae_dir)
         hf_io.save_vae_params(_to_numpy_f32(params["vae"]), vae_dir)
 
-        te2_dir = os.path.join(save_directory, "text_encoder_2")
-        os.makedirs(te2_dir, exist_ok=True)
-        cfg = dict(self.text_encoder_2.config.to_dict())
-        cfg.update(
-            {
-                "architectures": ["CLIPTextModelWithProjection"],
-                "model_type": "clip_text_model",
-                "torch_dtype": "float32",
-            }
-        )
-        with open(os.path.join(te2_dir, "config.json"), "w") as f:
-            json.dump(cfg, f, indent=2, sort_keys=True)
-        sd = hf_io.flax_params_to_torch_state_dict(
-            _to_numpy_f32(params["text_encoder_2"])
-        )
-
-        def _rekey(k: str) -> str:
-            k = k.replace("text_model.token_embedding",
-                          "text_model.embeddings.token_embedding")
-            k = k.replace("text_model.position_embedding",
-                          "text_model.embeddings.position_embedding")
-            return k.replace("text_model.layers.", "text_model.encoder.layers.")
-
-        hf_io.save_safetensors(
-            {_rekey(k): v for k, v in sd.items()},
-            os.path.join(te2_dir, "model.safetensors"),
-            metadata={"format": "pt"},
+        export_text_encoder_2(
+            self.text_encoder_2, params["text_encoder_2"], save_directory
         )
         if self.tokenizer_2 is not None:
             self.tokenizer_2.save_pretrained(
@@ -391,6 +364,14 @@ class StableDiffusionXLImg2ImgPipeline(StableDiffusionXLPipeline):
         if not 0.0 < strength <= 1.0:
             raise ValueError(f"strength must be in (0, 1], got {strength}")
         init_timestep = min(int(num_inference_steps * strength), num_inference_steps)
+        if init_timestep < 1:
+            # strength < 1/steps would denoise zero steps and index the
+            # timestep array out of bounds (JAX clamps silently)
+            raise ValueError(
+                f"strength={strength} runs no denoise steps at "
+                f"num_inference_steps={num_inference_steps}; use strength "
+                f">= {1.0 / num_inference_steps:.4f} or more steps"
+            )
         start_step = max(num_inference_steps - init_timestep, 0)
 
         args = (prompt_ids, image, params, prng_seed)

@@ -443,6 +443,9 @@ def main(
                     metrics_writer.scalar(
                         "train/chunk", config_dict["chunk_steps"], global_step
                     )
+                    # flush per logging interval: a killed run must not lose
+                    # the buffered tail of its event file
+                    metrics_writer.flush()
                 train_step_progress_bar.write(
                     f"at steps {count}, avg loss for "
                     f'{config_dict["loss_logging_interval"]} steps: {loss},'

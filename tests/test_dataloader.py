@@ -215,3 +215,83 @@ def test_per_host_decode_slices_work_items(tmp_path):
     assert not np.allclose(
         batches[0]["pixel_values"], batches[1]["pixel_values"]
     )
+
+
+def test_multiprocess_emission_is_plan_ordered(tmp_path, monkeypatch):
+    """With process_count>1, racing decode workers must release batches in
+    PLAN order (reorder buffer), and a failed decode substitutes a blank
+    image instead of skipping — otherwise hosts desynchronize and the pod's
+    gradient all-reduce pairs slices of different logical batches (or
+    hangs). Decode latency is deliberately scrambled so completion order
+    differs from plan order."""
+    import time as _time
+
+    import pandas as pd
+    from PIL import Image
+
+    from stable_diffusion_training_tpu.data import dataloader as dl_mod
+    from stable_diffusion_training_tpu.data.dataloader import DataLoader
+
+    class _IndexTok:
+        bos_token_id, eos_token_id, pad_token_id = 1, 2, 0
+
+        def __call__(self, captions, add_special_tokens=False):
+            # caption "c<idx>" -> ids carrying the dataframe row index
+            return {"input_ids": [[int(c[1:]) + 10] * 3 for c in captions]}
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rows = []
+    n = 16
+    for i in range(n):
+        p = img_dir / f"{i}.png"
+        Image.new("RGB", (64, 64), (i * 10 % 255, 0, 0)).save(p)
+        rows.append({"filepath": str(p), "caption": f"c{i}",
+                     "width": 64, "height": 64, "repo_key": "r"})
+    rows[2]["filepath"] = str(img_dir / "missing.png")  # decode failure
+    df = pd.DataFrame(rows)
+
+    real_load = dl_mod.load_and_bucket_image
+
+    def slow_early_loads(path, wh):
+        # earlier rows decode slower -> completion order inverts plan order
+        name = os.path.basename(path).split(".")[0]
+        idx = int(name) if name.isdigit() else 0
+        _time.sleep(0.05 * max(0, 8 - idx) / 8)
+        return real_load(path, wh)
+
+    monkeypatch.setattr(dl_mod, "load_and_bucket_image", slow_early_loads)
+
+    loader = DataLoader(
+        tokenizer_obj=_IndexTok(),
+        config={"repo": {}},
+        ramdisk_path=str(tmp_path / "rd"),
+        training_batch_size=4,
+        repeat_batch=1,
+        maximum_resolution_areas=[64 * 64],
+        bucket_lower_bound_resolutions=[64],
+        numb_of_worker_thread=4,
+        queue_get_timeout=5,
+        process_index=0,
+        process_count=2,
+    )
+    loader._print_debug = False
+    loader._dataframe = df
+    loader.create_training_dataframe()
+    plan = [item["indices"][:2] for item in loader._batches]  # host 0 slices
+    assert len(plan) == 4
+    loader.dispatch_worker()
+
+    emitted = []
+    while True:
+        b = loader.grab_next_batch()
+        if b == "end_of_batch":
+            break
+        if b is None:
+            continue
+        ids = b["input_ids"].reshape(2, 3, -1)[:, 0, 1]  # token after BOS
+        emitted.append([int(t) - 10 for t in ids])
+        assert b["pixel_values"].shape == (2, 3, 64, 64)
+
+    # every planned batch arrived (no skip for the missing image), in order
+    assert emitted == [list(s) for s in plan]
