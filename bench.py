@@ -22,9 +22,9 @@ Also reported:
   chip peak (BASELINE.md north star is >=95% MXU utilization on the UNet);
 - ``ref_style_*``: the reference-style leg's numbers.
 
-Env overrides: BENCH_BATCH (default 12 — the best measured operating point
-on v5e: 13.5 img/s/chip MFU 24.1% vs 12.3/20.6% at batch 8; batch 16 OOMs
-16G HBM even with remat), BENCH_RES (default 512),
+Env overrides: BENCH_BATCH (default 15 — the best measured operating point
+on v5e: 15.45 img/s/chip MFU 28.8%, vs 14.88/27.3% at 14, 13.61/24.0% at
+12; batch 16 still OOMs 16G HBM), BENCH_RES (default 512),
 BENCH_STEPS (default 10), BENCH_FAMILY (default sd15), BENCH_SKIP_REF=1
 (skip the reference-style leg; vs_baseline then falls back to the recorded
 round-1 anchor), BENCH_BASELINE (override that anchor),
@@ -264,7 +264,7 @@ def run_leg(family, batch, res, steps, reference_style):
 
 
 def main():
-    batch = int(os.environ.get("BENCH_BATCH", "12"))
+    batch = int(os.environ.get("BENCH_BATCH", "15"))
     res = int(os.environ.get("BENCH_RES", "512"))
     steps = int(os.environ.get("BENCH_STEPS", "10"))
     family = os.environ.get("BENCH_FAMILY", "sd15")
