@@ -1,0 +1,135 @@
+"""Periodic DDIM eval sampling inside the training loop.
+
+BASELINE config 2 calls for "SD 1.5 full training loop at 512², bf16, DDIM
+eval sampling every N steps" — the reference has no in-loop eval at all
+(its only visual check is inspecting per-chunk checkpoints by hand), so
+this is a new capability, wired as an opt-in like ``profile_trace_dir``.
+
+Config keys (all optional, in the raw config dict):
+
+- ``eval_sample_interval``: sample every N train steps (0/absent = off);
+- ``eval_sample_prompts``: list of prompt strings (tokenized with the run's
+  tokenizer) — or ``eval_sample_prompt_ids``: pre-tokenized id rows for
+  tokenizer-less runs (e.g. synthetic/in-memory loaders);
+- ``eval_sample_dir``: output directory (default ``eval_samples`` next to
+  loss.csv);
+- ``eval_num_inference_steps`` (default 20), ``eval_guidance_scale``
+  (default 7.5), ``eval_sample_resolution`` (default: the UNet's native
+  ``sample_size * 8``).
+
+Images are denoised with the same DDIM scaled_linear/v_prediction
+configuration the checkpoints embed (``train/checkpoint.py:80-88``), from
+the CURRENT live params (donated buffers are read, never kept), and written
+as PNGs under ``eval_sample_dir/step_<N>/``.
+"""
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+
+class EvalSampler:
+    """Opt-in in-loop sampler; every call is a no-op when disabled."""
+
+    def __init__(
+        self,
+        config_dict: Dict[str, Any],
+        model_object_dict: Dict[str, Any],
+        tokenizer: Optional[Any],
+        metrics_writer: Optional[Any] = None,
+    ):
+        self.interval = int(config_dict.get("eval_sample_interval", 0) or 0)
+        self._pipe = None
+        self._prompt_ids = None
+        self._neg_ids = None
+        if not self.interval:
+            return
+
+        from ..diffusion import DDIMScheduler
+        from ..pipeline import StableDiffusionPipeline
+
+        self.out_dir = config_dict.get("eval_sample_dir", "eval_samples")
+        self.num_steps = int(config_dict.get("eval_num_inference_steps", 20))
+        self.guidance = float(config_dict.get("eval_guidance_scale", 7.5))
+        self.resolution = config_dict.get("eval_sample_resolution")
+        self.metrics_writer = metrics_writer
+
+        scheduler = DDIMScheduler(
+            beta_start=0.00085,
+            beta_end=0.012,
+            beta_schedule="scaled_linear",
+            num_train_timesteps=1000,
+            prediction_type=config_dict.get("prediction_type", "v_prediction"),
+        )
+        self._scheduler_state = scheduler.create_state()
+        self._pipe = StableDiffusionPipeline(
+            tokenizer,
+            model_object_dict["text_encoder"],
+            model_object_dict["vae"],
+            model_object_dict["unet"],
+            scheduler,
+        )
+
+        prompts = config_dict.get("eval_sample_prompts")
+        prompt_ids = config_dict.get("eval_sample_prompt_ids")
+        if prompt_ids is not None:
+            self._prompt_ids = np.asarray(prompt_ids, np.int32)
+        elif prompts and tokenizer is not None:
+            self._prompt_ids = np.asarray(
+                self._pipe.prepare_inputs(list(prompts)), np.int32
+            )
+        else:
+            # nothing to sample from: disable rather than crash mid-run
+            self.interval = 0
+            self._pipe = None
+            return
+        if tokenizer is None:
+            # no tokenizer to build the unconditional branch: reuse an
+            # all-pad row (id 0) as the negative prompt
+            self._neg_ids = np.zeros_like(self._prompt_ids)
+
+    @property
+    def active(self) -> bool:
+        return bool(self.interval)
+
+    def maybe_sample(self, step: int, unet_params, te_params, vae_params, rng):
+        """Generate + save samples when ``step`` hits the interval.
+
+        ``rng`` is consumed read-only (folded, never split back into the
+        training stream), so sampling does not perturb training numerics."""
+        if not self.interval or step % self.interval:
+            return None
+        sample_rng = jax.random.fold_in(jax.random.PRNGKey(0), step)
+        params = {
+            "unet": unet_params,
+            "text_encoder": te_params,
+            "vae": vae_params,
+            "scheduler": self._scheduler_state,
+        }
+        kwargs = {}
+        if self.resolution:
+            kwargs["height"] = kwargs["width"] = int(self.resolution)
+        images = self._pipe(
+            self._prompt_ids,
+            params,
+            sample_rng,
+            num_inference_steps=self.num_steps,
+            guidance_scale=self.guidance,
+            neg_prompt_ids=self._neg_ids,
+            jit=True,  # cached GSPMD program; first call pays the compile
+            return_dict=False,
+            **kwargs,
+        )[0]
+
+        step_dir = os.path.join(self.out_dir, f"step_{step:08d}")
+        os.makedirs(step_dir, exist_ok=True)
+        arr = np.asarray(images)
+        for i, pil in enumerate(self._pipe.numpy_to_pil(arr)):
+            pil.save(os.path.join(step_dir, f"sample_{i}.png"))
+        if self.metrics_writer is not None and self.metrics_writer.active:
+            self.metrics_writer.scalar(
+                "eval/sample_mean", float(arr.mean()), step
+            )
+        return step_dir

@@ -336,6 +336,14 @@ def main(
     metrics_writer = MetricsWriter(config_dict.get("tensorboard_dir"))
     global_step = 0  # steps this invocation (chunk/seed tagged alongside)
 
+    # in-loop DDIM eval sampling every N steps (BASELINE config 2; opt-in
+    # via eval_sample_interval — the reference has no in-loop eval at all)
+    from .eval_sampler import EvalSampler
+
+    eval_sampler = EvalSampler(
+        config_dict, model_object_dict, tokenizer, metrics_writer
+    )
+
     for _ in range(config_dict["chunk_limit"]):
         dataloader.delete_prev_chunks(prev_chunk=config_dict["chunk_number"] - 1)
         if config_dict["chunk_number"] >= config_dict["chunk_limit"]:
@@ -427,6 +435,18 @@ def main(
                 profiled = True
 
             global_step += 1
+            if eval_sampler.active:
+                sampled = eval_sampler.maybe_sample(
+                    global_step,
+                    unet_state.params,
+                    text_encoder_state.params,
+                    frozen_vae.params,
+                    train_rngs,
+                )
+                if sampled:
+                    train_step_progress_bar.write(
+                        f"eval samples at step {global_step} -> {sampled}"
+                    )
             if count % config_dict["loss_logging_interval"] == 0:
                 stop = time.time()
                 time_elapsed = round(stop - start, 4)

@@ -215,3 +215,42 @@ def test_metrics_writer_tensorboard(tmp_path):
     w.close()
     files = list((tmp_path / "tb").glob("events.out.tfevents.*"))
     assert files and files[0].stat().st_size > 0
+
+
+@pytest.mark.slow
+def test_trainer_eval_sampling(tmp_path, monkeypatch):
+    """Opt-in in-loop DDIM eval sampling (BASELINE config 2: "DDIM eval
+    sampling every N steps"): PNGs appear under eval_sample_dir at the
+    configured interval, without perturbing the training state flow."""
+    monkeypatch.chdir(tmp_path)
+    base = str(tmp_path / "ckpt" / "run")
+    eval_dir = str(tmp_path / "eval_samples")
+    prompt_ids = np.zeros((1, 77), np.int32)
+    prompt_ids[0, :5] = [3, 17, 42, 7, 2]
+    cfg = make_config_dict(
+        tmp_path,
+        model_path=base + "@0",
+        chunk_limit=1,
+        eval_sample_interval=2,
+        eval_sample_prompt_ids=prompt_ids.tolist(),
+        eval_num_inference_steps=2,
+        eval_sample_resolution=64,
+        eval_sample_dir=eval_dir,
+    )
+    config_path = str(tmp_path / "model_properties.json")
+    with open(config_path, "w") as f:
+        json.dump(cfg, f)
+
+    loader = InMemoryDataLoader.synthetic(
+        4, 8, [(64, 64)], concat_count=3, vocab_size=1000, seed=0
+    )
+    trainer.main(config_dict_path=config_path, dataloader=loader, tokenizer=None)
+
+    step_dirs = sorted(os.listdir(eval_dir))
+    assert step_dirs, "no eval sample directories written"
+    pngs = os.listdir(os.path.join(eval_dir, step_dirs[0]))
+    assert any(p.endswith(".png") for p in pngs)
+    from PIL import Image
+
+    im = Image.open(os.path.join(eval_dir, step_dirs[0], pngs[0]))
+    assert im.size == (64, 64)
