@@ -140,6 +140,19 @@ def save_train_state(
         ),
         "train_rng": train_rng,
     }
+    # single-process: hand orbax HOST arrays — its own device->host path
+    # compiles a lax.slice program per leaf (replica_slices.
+    # transfer_arrays_to_host), a compile storm of hundreds of tiny XLA
+    # programs on every checkpoint; a plain device_get copies without
+    # compiling anything. Multi-process keeps orbax's distributed path
+    # (device_get cannot assemble non-addressable shards).
+    if jax.process_count() == 1:
+        payload = jax.tree_util.tree_map(
+            lambda leaf: jax.device_get(leaf)
+            if hasattr(leaf, "addressable_shards")
+            else leaf,
+            payload,
+        )
     _checkpointer().save(directory, payload, force=True)
     if step_metadata is not None:
         with open(os.path.join(directory, "metadata.json"), "w") as f:
