@@ -9,7 +9,6 @@ import jax
 import numpy as np
 import pytest
 
-from stable_diffusion_training_tpu.data import InMemoryDataLoader
 from stable_diffusion_training_tpu.train import trainer
 from stable_diffusion_training_tpu.utils.json_io import read_json_file
 
@@ -67,6 +66,26 @@ def make_config_dict(tmp_path, **overrides):
     return cfg
 
 
+def _run_trainer(config_path):
+    """trainer.main in a FRESH subprocess (see tests/trainer_child.py) —
+    XLA:CPU segfaults loading/compiling executables late in a long-lived
+    process, and these e2e tests assert only on on-disk artifacts."""
+    import subprocess
+    import sys
+
+    child = os.path.join(os.path.dirname(__file__), "trainer_child.py")
+    env = dict(os.environ)
+    flags = [
+        f for f in env.get("XLA_FLAGS", "").split()
+        if "xla_force_host_platform_device_count" not in f
+    ]
+    flags.append("--xla_force_host_platform_device_count=8")
+    env["XLA_FLAGS"] = " ".join(flags)
+    env["JAX_PLATFORMS"] = "cpu"
+    proc = subprocess.run([sys.executable, child, config_path], env=env)
+    assert proc.returncode == 0, f"trainer child exited rc={proc.returncode}"
+
+
 @pytest.mark.slow
 def test_trainer_end_to_end(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
@@ -81,11 +100,7 @@ def test_trainer_end_to_end(tmp_path, monkeypatch):
     # model_path doesn't exist as a checkpoint dir -> trainer would try to
     # load it; point load at the tiny family by pre-seeding model_family and
     # a non-dir model_path. load_models falls back to model_family.
-    loader = InMemoryDataLoader.synthetic(
-        4, 8, [(64, 64)], concat_count=3, vocab_size=1000, seed=0
-    )
-
-    trainer.main(config_dict_path=config_path, dataloader=loader, tokenizer=None)
+    _run_trainer(config_path)
 
     # JSON state mutated for resume
     final = read_json_file(config_path)
@@ -144,11 +159,6 @@ def test_trainer_full_state_resume_matches_uninterrupted(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     cache = str(tmp_path / "jax_cache_shared")
 
-    def _loader():
-        return InMemoryDataLoader.synthetic(
-            4, 8, [(64, 64)], concat_count=3, vocab_size=1000, seed=0
-        )
-
     def _cfg(tag, **overrides):
         base = str(tmp_path / tag / "run")
         cfg = make_config_dict(
@@ -171,15 +181,15 @@ def test_trainer_full_state_resume_matches_uninterrupted(tmp_path, monkeypatch):
 
     # run A: uninterrupted, both chunks in one process lifetime
     base_a, path_a = _cfg("a", chunk_limit=2)
-    trainer.main(config_dict_path=path_a, dataloader=_loader(), tokenizer=None)
+    _run_trainer(path_a)
 
     # run B: "killed" after chunk 0 (main returns), then resumed by a second
     # invocation that reloads params from the chunk checkpoint and restores
     # the full training state
     base_b, path_b = _cfg("b", chunk_limit=1)
-    trainer.main(config_dict_path=path_b, dataloader=_loader(), tokenizer=None)
+    _run_trainer(path_b)
     assert os.path.isdir(f"{base_b}@0/{trainer.TRAIN_STATE_SUBDIR}")
-    trainer.main(config_dict_path=path_b, dataloader=_loader(), tokenizer=None)
+    _run_trainer(path_b)
 
     # chunk-1 losses logged by B's resumed run match A's second chunk exactly
     losses_a = _chunk1_losses(str(tmp_path / "loss_a.csv"))
@@ -241,10 +251,7 @@ def test_trainer_eval_sampling(tmp_path, monkeypatch):
     with open(config_path, "w") as f:
         json.dump(cfg, f)
 
-    loader = InMemoryDataLoader.synthetic(
-        4, 8, [(64, 64)], concat_count=3, vocab_size=1000, seed=0
-    )
-    trainer.main(config_dict_path=config_path, dataloader=loader, tokenizer=None)
+    _run_trainer(config_path)
 
     step_dirs = sorted(os.listdir(eval_dir))
     assert step_dirs, "no eval sample directories written"
