@@ -190,6 +190,7 @@ class DataLoader:
         self._reorder: dict = {}
         self._next_emit = 0
         self._reorder_lock = threading.Lock()
+        self._emit_lock = threading.Lock()  # serializes ordered queue puts
 
         os.makedirs(ramdisk_path, exist_ok=True)
 
@@ -397,12 +398,21 @@ class DataLoader:
             if self.process_count > 1:
                 # ordered emission: park out-of-order results, flush the
                 # contiguous prefix (a None slot still advances the cursor
-                # so hosts cannot desynchronize on it)
+                # so hosts cannot desynchronize on it). The blocking
+                # consumer-queue put happens under a dedicated emit lock —
+                # never under _reorder_lock, which dispatch_worker also
+                # takes between chunks (holding it across a full-queue put
+                # would deadlock the next chunk) — and the emit lock keeps
+                # concurrent flushers from interleaving out of order.
                 with self._reorder_lock:
                     self._reorder[item["seq"]] = batch
-                    while self._next_emit in self._reorder:
-                        ready = self._reorder.pop(self._next_emit)
-                        self._next_emit += 1
+                while True:
+                    with self._emit_lock:
+                        with self._reorder_lock:
+                            if self._next_emit not in self._reorder:
+                                break
+                            ready = self._reorder.pop(self._next_emit)
+                            self._next_emit += 1
                         if ready is not None:
                             self._queue.put(ready)
             elif batch is not None:

@@ -139,7 +139,14 @@ def fused_lion8bit_update(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     nb, bs = codes.shape
-    if layout == "wide" and bs < 128 and 128 % bs == 0:
+    if layout not in ("narrow", "wide"):
+        raise ValueError(f"unknown layout {layout!r}; use 'narrow' or 'wide'")
+    if layout == "wide" and (bs >= 128 or 128 % bs):
+        # falling back silently would make layout A/Bs measure narrow twice
+        raise ValueError(
+            f"layout='wide' requires block_size < 128 dividing 128, got {bs}"
+        )
+    if layout == "wide":
         return _fused_wide(
             grad, codes, scales, b1=b1, b2=b2,
             mu_scale_dtype=mu_scale_dtype, rows_per_tile=rows_per_tile,

@@ -83,6 +83,8 @@ class StableDiffusionPipeline:
         return cls(tokenizer, text_encoder, vae, unet, scheduler), params
 
     def save_pretrained(self, save_directory: str, params: Dict[str, Any]) -> None:
+        import os
+
         from ..train.checkpoint import save_model
 
         save_model(
@@ -98,6 +100,11 @@ class StableDiffusionPipeline:
             vae_params=params["vae"],
             output_dir=save_directory,
         )
+        # save_model keeps the reference's checkpoint quirk (always DDIM
+        # scaled_linear/v_prediction, training_utils.py:997-1004); the
+        # pipeline's OWN save_pretrained matches diffusers semantics instead
+        # — the registered scheduler round-trips as configured
+        self.scheduler.save_config(os.path.join(save_directory, "scheduler"))
 
     # --- inference --------------------------------------------------------------
     def prepare_inputs(self, prompt: Union[str, List[str]]) -> jnp.ndarray:

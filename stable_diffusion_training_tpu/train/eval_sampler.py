@@ -56,10 +56,12 @@ class EvalSampler:
         self.resolution = config_dict.get("eval_sample_resolution")
         self.metrics_writer = metrics_writer
 
+        # mirror the RUN's noise schedule (betas + prediction type), not a
+        # fixed default — eval images must come from the model's own process
         scheduler = DDIMScheduler(
             beta_start=0.00085,
             beta_end=0.012,
-            beta_schedule="scaled_linear",
+            beta_schedule=config_dict.get("beta_scheduler", "scaled_linear"),
             num_train_timesteps=1000,
             prediction_type=config_dict.get("prediction_type", "v_prediction"),
         )
@@ -97,11 +99,13 @@ class EvalSampler:
     def maybe_sample(self, step: int, unet_params, te_params, vae_params, rng):
         """Generate + save samples when ``step`` hits the interval.
 
-        ``rng`` is consumed read-only (folded, never split back into the
-        training stream), so sampling does not perturb training numerics."""
+        ``rng`` is consumed read-only (folded with the step index, never
+        split back into the training stream), so sampling does not perturb
+        training numerics but does track the run's seed."""
         if not self.interval or step % self.interval:
             return None
-        sample_rng = jax.random.fold_in(jax.random.PRNGKey(0), step)
+        base_rng = jax.random.PRNGKey(0) if rng is None else rng
+        sample_rng = jax.random.fold_in(base_rng, step)
         params = {
             "unet": unet_params,
             "text_encoder": te_params,
@@ -123,9 +127,21 @@ class EvalSampler:
             **kwargs,
         )[0]
 
+        # multi-host: the generate program runs collectively on every host,
+        # but the output may span non-addressable devices — gather it, and
+        # let only process 0 write files
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            arr = np.asarray(multihost_utils.process_allgather(images))
+            arr = arr.reshape((-1,) + arr.shape[-3:])
+            if jax.process_index() != 0:
+                return None
+        else:
+            arr = np.asarray(images)
+
         step_dir = os.path.join(self.out_dir, f"step_{step:08d}")
         os.makedirs(step_dir, exist_ok=True)
-        arr = np.asarray(images)
         for i, pil in enumerate(self._pipe.numpy_to_pil(arr)):
             pil.save(os.path.join(step_dir, f"sample_{i}.png"))
         if self.metrics_writer is not None and self.metrics_writer.active:
