@@ -63,6 +63,92 @@ def sdxl_time_ids(
     return np.broadcast_to(row, (batch_size, 6)).copy()
 
 
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def _encode_context_one_tower(text_encoder, te_params, ids_2d, penultimate):
+    """Per-tower window encode: (N, win) ids -> (N, win, dim) hidden states,
+    optionally the penultimate hidden layer (SDXL convention).
+
+    Uses ``last_hidden_state`` by name: for CLIPTextModelWithProjection,
+    ``out[0]`` is the pooled ``text_embeds``, not the token states."""
+    out = text_encoder(
+        ids_2d, params=te_params, output_hidden_states=penultimate
+    )
+    return out.hidden_states[-2] if penultimate else out.last_hidden_state
+
+
+def compute_encoder_hidden_states(
+    text_encoder,
+    te_params,
+    input_ids,
+    concat_count: int = 1,
+    context_window: int = 77,
+    text_encoder_2=None,
+    te2_params=None,
+    strip_bos_eos_token: bool = True,
+    penultimate: bool = False,
+) -> np.ndarray:
+    """Precompute the UNet cross-attention context with FROZEN text towers.
+
+    Single tower: identical math to the in-step encode (77-token windows,
+    BOS/EOS-strip window concat — ``train_step.py``). With
+    ``text_encoder_2``, the two towers' per-token hidden states are
+    concatenated on the FEATURE axis after the window concat — SDXL's
+    768+1280=2048-channel context, which the fused step cannot produce
+    in-line (it only carries the trainable first tower, SURVEY.md §2.7).
+    ``penultimate=True`` selects each tower's second-to-last hidden layer
+    (the SDXL convention).
+
+    Feed the result as ``batch["encoder_hidden_states"]`` with
+    ``train_text_encoder=False`` (BASELINE config 5)."""
+    ids = np.asarray(input_ids)
+    if ids.ndim == 3:  # (B, concat, win)
+        ids = ids.reshape(-1, ids.shape[-1])
+    elif ids.ndim == 2 and ids.shape[1] > context_window:
+        ids = ids.reshape(-1, context_window)
+    if ids.shape[0] % concat_count:
+        raise ValueError(
+            f"{ids.shape[0]} id rows do not group into concat_count="
+            f"{concat_count} windows per sample"
+        )
+
+    def _strip_concat(h):  # (B*concat, win, dim) -> (B, tokens, dim)
+        b = h.shape[0] // concat_count
+        h = h.reshape(b, concat_count, h.shape[-2], h.shape[-1])
+        if not strip_bos_eos_token:
+            return h.reshape(b, -1, h.shape[-1])
+        # same formula as the in-step path (bit-for-bit when reused there)
+        return np.concatenate(
+            [
+                h[:, 0, :-1, :],
+                h[:, 1:-1, 1:-1, :].reshape(b, -1, h.shape[-1]),
+                h[:, -1, 1:, :],
+            ],
+            axis=1,
+        )
+
+    jids = jnp.asarray(ids, jnp.int32)
+    towers = [
+        _strip_concat(
+            np.asarray(
+                _encode_context_one_tower(
+                    text_encoder, te_params, jids, penultimate
+                )
+            )
+        )
+    ]
+    if text_encoder_2 is not None:
+        towers.append(
+            _strip_concat(
+                np.asarray(
+                    _encode_context_one_tower(
+                        text_encoder_2, te2_params, jids, penultimate
+                    )
+                )
+            )
+        )
+    return np.concatenate(towers, axis=-1) if len(towers) > 1 else towers[0]
+
+
 @functools.partial(jax.jit, static_argnums=(0,))
 def _pool_text_embeds(text_encoder_2, te2_params, window_ids):
     # module-level jit: cache_batches_to_dir calls once per batch; a
@@ -105,6 +191,11 @@ def cache_batches_to_dir(
     te2_params=None,
     context_window: int = 77,
     aesthetic_score=None,
+    text_encoder=None,
+    te_params=None,
+    concat_count: int = 1,
+    strip_bos_eos_token: bool = True,
+    penultimate: bool = False,
 ) -> List[str]:
     """Offline pass: encode every batch's pixels, write npz shards.
 
@@ -113,7 +204,12 @@ def cache_batches_to_dir(
     size/crop ``time_ids``), making BASELINE config 5 runnable straight from
     the trainer (the train step consumes these keys,
     ``train/train_step.py``). ``aesthetic_score`` switches the time ids to
-    the refiner's 5-element (size/crop/aesthetic) form."""
+    the refiner's 5-element (size/crop/aesthetic) form.
+
+    With ``text_encoder`` ALSO given, shards carry the fully-precomputed
+    frozen cross-attention context (``encoder_hidden_states`` — the SDXL
+    dual-tower feature concat when both towers are present), so the train
+    step skips text encoding entirely (``train_text_encoder=False``)."""
     os.makedirs(cache_dir, exist_ok=True)
     paths = []
     for i, batch in enumerate(batches):
@@ -130,6 +226,18 @@ def cache_batches_to_dir(
             )
             extras["time_ids"] = sdxl_time_ids(
                 b, (h, w), (0, 0), (h, w), aesthetic_score=aesthetic_score
+            )
+        if text_encoder is not None:
+            extras["encoder_hidden_states"] = compute_encoder_hidden_states(
+                text_encoder,
+                te_params,
+                batch["input_ids"],
+                concat_count=concat_count,
+                context_window=context_window,
+                text_encoder_2=text_encoder_2,
+                te2_params=te2_params,
+                strip_bos_eos_token=strip_bos_eos_token,
+                penultimate=penultimate,
             )
         path = os.path.join(cache_dir, f"latents_{i:06d}.npz")
         np.savez(

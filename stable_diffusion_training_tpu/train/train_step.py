@@ -162,36 +162,46 @@ def train_step(
             timesteps=timesteps,
         )
 
-        encoder_hidden_states = text_encoder_state.apply_fn(
-            params=text_encoder_params,
-            input_ids=batch["input_ids"],
-            dropout_rng=dropout_rng,
-            train=True,
-        )[0]
-        # (batch*concat, win, dim) -> (batch, concat, win, dim)
-        encoder_hidden_states = jnp.reshape(
-            encoder_hidden_states,
-            (b, -1, text_context_window, encoder_hidden_states.shape[-1]),
-        )
-
-        if strip_bos_eos_token:
-            # window0 minus EOS + middle windows minus both + last minus BOS
-            encoder_hidden_states = jnp.concatenate(
-                [
-                    encoder_hidden_states[:, 0, :-1, :],
-                    jnp.reshape(
-                        encoder_hidden_states[:, 1:-1, 1:-1, :],
-                        (b, -1, encoder_hidden_states.shape[-1]),
-                    ),
-                    encoder_hidden_states[:, -1, 1:, :],
-                ],
-                axis=1,
-            )
+        if "encoder_hidden_states" in batch:
+            # frozen-text-encoder fast path (BASELINE config 5 / SDXL at
+            # real scale): the loader supplies the cross-attention context
+            # precomputed offline — e.g. the SDXL dual-tower 2048-channel
+            # concat from data.latent_cache.compute_encoder_hidden_states,
+            # which the in-step (trainable-TE1-only) encode cannot produce.
+            # Use with train_text_encoder=False; TE grads are zero here.
+            encoder_hidden_states = batch["encoder_hidden_states"]
         else:
+            encoder_hidden_states = text_encoder_state.apply_fn(
+                params=text_encoder_params,
+                input_ids=batch["input_ids"],
+                dropout_rng=dropout_rng,
+                train=True,
+            )[0]
+            # (batch*concat, win, dim) -> (batch, concat, win, dim)
             encoder_hidden_states = jnp.reshape(
                 encoder_hidden_states,
-                (b, -1, encoder_hidden_states.shape[-1]),
+                (b, -1, text_context_window, encoder_hidden_states.shape[-1]),
             )
+
+            if strip_bos_eos_token:
+                # window0 minus EOS + middle windows minus both + last
+                # window minus BOS
+                encoder_hidden_states = jnp.concatenate(
+                    [
+                        encoder_hidden_states[:, 0, :-1, :],
+                        jnp.reshape(
+                            encoder_hidden_states[:, 1:-1, 1:-1, :],
+                            (b, -1, encoder_hidden_states.shape[-1]),
+                        ),
+                        encoder_hidden_states[:, -1, 1:, :],
+                    ],
+                    axis=1,
+                )
+            else:
+                encoder_hidden_states = jnp.reshape(
+                    encoder_hidden_states,
+                    (b, -1, encoder_hidden_states.shape[-1]),
+                )
 
         # SDXL micro-conditioning: the loader supplies pooled text embeds
         # (from the frozen second text encoder, typically precomputed
