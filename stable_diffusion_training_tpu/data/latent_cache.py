@@ -196,6 +196,7 @@ def cache_batches_to_dir(
     concat_count: int = 1,
     strip_bos_eos_token: bool = True,
     penultimate: bool = False,
+    context_use_tower_2: bool = True,
 ) -> List[str]:
     """Offline pass: encode every batch's pixels, write npz shards.
 
@@ -228,14 +229,17 @@ def cache_batches_to_dir(
                 b, (h, w), (0, 0), (h, w), aesthetic_score=aesthetic_score
             )
         if text_encoder is not None:
+            # context_use_tower_2=False gives a single-tower context even
+            # when TE2 is present for the pooled micro-conditioning (e.g.
+            # frozen-TE SD1.x where the UNet is TE1-width)
             extras["encoder_hidden_states"] = compute_encoder_hidden_states(
                 text_encoder,
                 te_params,
                 batch["input_ids"],
                 concat_count=concat_count,
                 context_window=context_window,
-                text_encoder_2=text_encoder_2,
-                te2_params=te2_params,
+                text_encoder_2=text_encoder_2 if context_use_tower_2 else None,
+                te2_params=te2_params if context_use_tower_2 else None,
                 strip_bos_eos_token=strip_bos_eos_token,
                 penultimate=penultimate,
             )
@@ -301,9 +305,12 @@ def precompute_latent_cache(
     te2_params=None,
     context_window: int = 77,
     aesthetic_score=None,
+    **context_kwargs,
 ) -> CachedLatentLoader:
     """Drain a pixel loader through the VAE (and optionally the frozen SDXL
-    second text encoder) into a cache; return the cached loader."""
+    second text encoder) into a cache; return the cached loader.
+    ``context_kwargs`` (text_encoder/te_params/concat_count/...) forward to
+    ``cache_batches_to_dir`` for frozen-tower context precompute."""
 
     def _batches():
         pixel_loader.dispatch_worker()
@@ -324,5 +331,6 @@ def precompute_latent_cache(
         te2_params=te2_params,
         context_window=context_window,
         aesthetic_score=aesthetic_score,
+        **context_kwargs,
     )
     return CachedLatentLoader(cache_dir)

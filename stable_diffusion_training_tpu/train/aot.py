@@ -163,6 +163,25 @@ def dp_compile_all_unique_resolution(
                 dtype=jnp.int32,
             )
             batch["attention_mask"] = jnp.zeros_like(batch["input_ids"])
+            if training_config.cached_text_context:
+                # frozen-tower precomputed context: tokens follow the same
+                # BOS/EOS-strip window math as the in-step encode; width is
+                # the UNet's cross-attention dim by construction
+                concat = training_config.context_window_concatenation_count
+                win = training_config.text_encoder_context_window
+                tokens = (
+                    (win - 2) * concat + 2
+                    if training_config.strip_bos_eos_token
+                    else win * concat
+                )
+                batch["encoder_hidden_states"] = jnp.zeros(
+                    (
+                        training_config.batch_size,
+                        tokens,
+                        unet_model.config.cross_attention_dim,
+                    ),
+                    jnp.float32,
+                )
             if training_config.sdxl_micro_conditioning:
                 cfg = unet_model.config
                 # 6 ids for the base model, 5 for the refiner (aesthetic

@@ -78,6 +78,9 @@ class TrainingConfig:
     seed_init: int = 0  # rng for fresh-family init
     grad_accumulation_steps: int = 1  # micro-batch accumulation (1 = off)
     use_latent_cache: bool = False  # batches carry latent_moments, VAE skipped
+    cached_text_context: bool = False  # batches carry encoder_hidden_states
+    # (precomputed frozen-tower context, data.latent_cache); pair with
+    # train_text_encoder=False
     sdxl_micro_conditioning: bool = False  # batches carry pooled embeds+time_ids
     # number of micro-conditioning time ids: 6 for the SDXL base model
     # (size/crop/target), 5 for the refiner (size/crop/aesthetic-score)

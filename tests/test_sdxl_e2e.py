@@ -109,3 +109,58 @@ def test_sdxl_trainer_end_to_end_with_latent_cache(tmp_path, monkeypatch):
         rows = [l for l in f.read().splitlines()[1:] if l]
     assert rows and all(np.isfinite(float(r.split(",")[2])) for r in rows)
     assert os.path.isdir(f"{base}@0/unet")
+
+
+@pytest.mark.slow
+def test_sdxl_trainer_with_cached_frozen_context(tmp_path, monkeypatch):
+    """BASELINE config 5 at full fidelity: latent moments + pooled/time_ids
+    + PRECOMPUTED frozen-tower cross-attention context flow from the cache
+    through AOT dispatch (cached_text_context=True) and the fused step with
+    train_text_encoder=False."""
+    monkeypatch.chdir(tmp_path)
+    base = str(tmp_path / "ckpt" / "sdxl_ctx")
+    cfg = make_config_dict(
+        tmp_path,
+        model_path=base + "@0",
+        model_family="tiny_sdxl",
+        chunk_limit=1,
+        use_latent_cache=True,
+        cached_text_context=True,
+        sdxl_micro_conditioning=True,
+        train_text_encoder=False,
+        image_area_root=[64],
+        minimum_axis_length=[64],
+        batch_size=2,
+        loss_logging_interval=1,
+    )
+    config_path = str(tmp_path / "props.json")
+    with open(config_path, "w") as f:
+        json.dump(cfg, f)
+
+    vae = AutoencoderKL(**configs.TINY_VAE, data_format="NHWC")
+    te2 = CLIPTextModelWithProjection(**configs.TINY_CLIP_PROJ)
+    from stable_diffusion_training_tpu.models import CLIPTextModel
+
+    te1 = CLIPTextModel(**configs.TINY_CLIP)
+    rng = jax.random.PRNGKey(0)
+    pixel_loader = InMemoryDataLoader.synthetic(
+        2, 2, [(64, 64)], concat_count=3, vocab_size=1000, seed=0
+    )
+    cached = precompute_latent_cache(
+        pixel_loader, vae, vae.init(rng), str(tmp_path / "cache"),
+        text_encoder_2=te2, te2_params=te2.init(rng),
+        text_encoder=te1, te_params=te1.init(rng),
+        concat_count=3, context_use_tower_2=False,  # UNet is TE1-width (32)
+    )
+    from stable_diffusion_training_tpu.core import mesh as mesh_lib
+
+    mesh = mesh_lib.create_mesh(shape=(2, 1), devices=jax.devices()[:2])
+    trainer.main(
+        config_dict_path=config_path, dataloader=cached, tokenizer=None,
+        mesh=mesh,
+    )
+
+    with open(cfg["loss_csv"]) as f:
+        rows = [l for l in f.read().splitlines()[1:] if l]
+    assert rows and all(np.isfinite(float(r.split(",")[2])) for r in rows)
+    assert os.path.isdir(f"{base}@0/unet")
