@@ -8,7 +8,9 @@ backend init blocks for minutes on a pool claim). ``jax.config.update`` after
 import is the reliable way to pin tests to CPU.
 """
 
+import hashlib
 import os
+import platform
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
@@ -19,14 +21,36 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402  (import after env setup)
 
 jax.config.update("jax_platforms", "cpu")
+
+
+def _host_fingerprint() -> str:
+    """Short hash of the host CPU's feature set. XLA:CPU executables are
+    AOT-compiled for the compiling machine's features; loading an entry
+    produced on a different box (these CI hosts rotate) warns about
+    mismatched machine features and can SIGILL/SEGV. Keying the cache dir
+    by host keeps every entry loadable where it is read."""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+            else:
+                feats = platform.processor()
+    except OSError:
+        feats = platform.processor()
+    return hashlib.sha256(feats.encode()).hexdigest()[:12]
+
+
 # persistent XLA compile cache shared by the whole suite: the fused train
 # step compiles once per (shape, statics) across ALL test sessions — the
 # single biggest lever for suite wall-clock on 1-core CI boxes. Repo-local
-# (gitignored) so it survives /tmp wipes between sessions on the same box.
+# (gitignored) so it survives /tmp wipes between sessions, keyed by the
+# host CPU fingerprint so rotated boxes never load foreign executables.
 _cache_dir = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     ".cache",
-    "jax_pytest",
+    f"jax_pytest_{_host_fingerprint()}",
 )
 try:
     os.makedirs(_cache_dir, exist_ok=True)
@@ -43,3 +67,16 @@ def cpu_devices():
     devices = jax.devices()
     assert len(devices) == 8, f"expected 8 virtual CPU devices, got {devices}"
     return devices
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Release compiled executables after each test module.
+
+    XLA:CPU's executable load path (fresh compiles AND persistent-cache
+    deserialization) segfaults sporadically once a long-lived process has
+    accumulated ~170 tests' worth of live programs; dropping the pjit
+    executable cache between modules keeps the live set small. Warm
+    persistent-cache reads make the recompiles cheap."""
+    yield
+    jax.clear_caches()
