@@ -20,6 +20,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils.context import concat_context_windows
+
 
 def encode_batch_to_moments(vae, vae_params, pixel_values_nchw) -> np.ndarray:
     """Run the VAE encoder on an NCHW pixel batch; returns NCHW moments."""
@@ -86,6 +88,7 @@ def compute_encoder_hidden_states(
     te2_params=None,
     strip_bos_eos_token: bool = True,
     penultimate: bool = False,
+    input_ids_2=None,
 ) -> np.ndarray:
     """Precompute the UNet cross-attention context with FROZEN text towers.
 
@@ -97,6 +100,11 @@ def compute_encoder_hidden_states(
     in-line (it only carries the trainable first tower, SURVEY.md §2.7).
     ``penultimate=True`` selects each tower's second-to-last hidden layer
     (the SDXL convention).
+
+    Canonical SDXL tokenizes the prompt separately per tower (the two
+    tokenizers pad differently: tokenizer_2 pads with id 0, tokenizer_1
+    with EOS); pass ``input_ids_2`` for exact parity with checkpoints
+    trained that way — without it, tower 2 reuses ``input_ids``.
 
     Feed the result as ``batch["encoder_hidden_states"]`` with
     ``train_text_encoder=False`` (BASELINE config 5)."""
@@ -114,17 +122,9 @@ def compute_encoder_hidden_states(
     def _strip_concat(h):  # (B*concat, win, dim) -> (B, tokens, dim)
         b = h.shape[0] // concat_count
         h = h.reshape(b, concat_count, h.shape[-2], h.shape[-1])
-        if not strip_bos_eos_token:
-            return h.reshape(b, -1, h.shape[-1])
-        # same formula as the in-step path (bit-for-bit when reused there)
-        return np.concatenate(
-            [
-                h[:, 0, :-1, :],
-                h[:, 1:-1, 1:-1, :].reshape(b, -1, h.shape[-1]),
-                h[:, -1, 1:, :],
-            ],
-            axis=1,
-        )
+        # the in-step path uses the SAME function (utils/context.py), so
+        # cached and in-line conditioning cannot diverge
+        return np.asarray(concat_context_windows(h, strip_bos_eos_token))
 
     jids = jnp.asarray(ids, jnp.int32)
     towers = [
@@ -137,11 +137,20 @@ def compute_encoder_hidden_states(
         )
     ]
     if text_encoder_2 is not None:
+        if input_ids_2 is not None:
+            ids2 = np.asarray(input_ids_2)
+            if ids2.ndim == 3:
+                ids2 = ids2.reshape(-1, ids2.shape[-1])
+            elif ids2.ndim == 2 and ids2.shape[1] > context_window:
+                ids2 = ids2.reshape(-1, context_window)
+            jids2 = jnp.asarray(ids2, jnp.int32)
+        else:
+            jids2 = jids
         towers.append(
             _strip_concat(
                 np.asarray(
                     _encode_context_one_tower(
-                        text_encoder_2, te2_params, jids, penultimate
+                        text_encoder_2, te2_params, jids2, penultimate
                     )
                 )
             )

@@ -167,12 +167,12 @@ def dp_compile_all_unique_resolution(
                 # frozen-tower precomputed context: tokens follow the same
                 # BOS/EOS-strip window math as the in-step encode; width is
                 # the UNet's cross-attention dim by construction
-                concat = training_config.context_window_concatenation_count
-                win = training_config.text_encoder_context_window
-                tokens = (
-                    (win - 2) * concat + 2
-                    if training_config.strip_bos_eos_token
-                    else win * concat
+                from ..utils.context import context_token_count
+
+                tokens = context_token_count(
+                    training_config.text_encoder_context_window,
+                    training_config.context_window_concatenation_count,
+                    training_config.strip_bos_eos_token,
                 )
                 batch["encoder_hidden_states"] = jnp.zeros(
                     (

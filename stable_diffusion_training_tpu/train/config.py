@@ -91,6 +91,17 @@ class TrainingConfig:
     # aspect fitting — the compile-count lever for large multi-tier configs
     bucket_rounding: int = 64
 
+    def __post_init__(self):
+        if self.cached_text_context and self.train_text_encoder:
+            # zero grads + Lion weight decay would silently decay the
+            # "trainable" TE toward zero while conditioning comes from the
+            # stale precomputed context — never a sane combination
+            raise ValueError(
+                "cached_text_context=True requires train_text_encoder=False "
+                "(the precomputed context bypasses the text encoder; "
+                "training it would only apply weight decay to unused params)"
+            )
+
     def replace(self, **kwargs) -> "TrainingConfig":
         return dataclasses.replace(self, **kwargs)
 

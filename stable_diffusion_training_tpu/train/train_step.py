@@ -23,6 +23,8 @@ from typing import Any, Optional
 import jax
 import jax.numpy as jnp
 
+from ..utils.context import concat_context_windows
+
 
 def compute_snrs(alphas_cumprod: jnp.ndarray) -> jnp.ndarray:
     return alphas_cumprod / (1 - alphas_cumprod)
@@ -183,25 +185,11 @@ def train_step(
                 (b, -1, text_context_window, encoder_hidden_states.shape[-1]),
             )
 
-            if strip_bos_eos_token:
-                # window0 minus EOS + middle windows minus both + last
-                # window minus BOS
-                encoder_hidden_states = jnp.concatenate(
-                    [
-                        encoder_hidden_states[:, 0, :-1, :],
-                        jnp.reshape(
-                            encoder_hidden_states[:, 1:-1, 1:-1, :],
-                            (b, -1, encoder_hidden_states.shape[-1]),
-                        ),
-                        encoder_hidden_states[:, -1, 1:, :],
-                    ],
-                    axis=1,
-                )
-            else:
-                encoder_hidden_states = jnp.reshape(
-                    encoder_hidden_states,
-                    (b, -1, encoder_hidden_states.shape[-1]),
-                )
+            # window0 minus EOS + middle windows minus both + last window
+            # minus BOS (shared definition: utils/context.py)
+            encoder_hidden_states = concat_context_windows(
+                encoder_hidden_states, strip_bos_eos_token
+            )
 
         # SDXL micro-conditioning: the loader supplies pooled text embeds
         # (from the frozen second text encoder, typically precomputed
@@ -271,8 +259,17 @@ def train_step(
         )
     else:
         accum = grad_accumulation_steps
-        total_b = batch["pixel_values"].shape[0]
-        assert total_b % accum == 0, (total_b, accum)
+        # batch size from whichever image key the loader supplies (pixels,
+        # or latent moments on the offline-cache path)
+        image_key = (
+            "pixel_values" if "pixel_values" in batch else "latent_moments"
+        )
+        total_b = batch[image_key].shape[0]
+        if total_b % accum:
+            raise ValueError(
+                f"batch size {total_b} not divisible by "
+                f"grad_accumulation_steps={accum}"
+            )
         micro_b = total_b // accum
 
         def _split_leaf(leaf):

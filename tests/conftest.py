@@ -8,9 +8,10 @@ backend init blocks for minutes on a pool claim). ``jax.config.update`` after
 import is the reliable way to pin tests to CPU.
 """
 
-import hashlib
 import os
-import platform
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
@@ -22,25 +23,9 @@ import jax  # noqa: E402  (import after env setup)
 
 jax.config.update("jax_platforms", "cpu")
 
-
-def _host_fingerprint() -> str:
-    """Short hash of the host CPU's feature set. XLA:CPU executables are
-    AOT-compiled for the compiling machine's features; loading an entry
-    produced on a different box (these CI hosts rotate) warns about
-    mismatched machine features and can SIGILL/SEGV. Keying the cache dir
-    by host keeps every entry loadable where it is read."""
-    try:
-        with open("/proc/cpuinfo") as f:
-            for line in f:
-                if line.startswith("flags"):
-                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
-                    break
-            else:
-                feats = platform.processor()
-    except OSError:
-        feats = platform.processor()
-    return hashlib.sha256(feats.encode()).hexdigest()[:12]
-
+from stable_diffusion_training_tpu.utils.hostcache import (  # noqa: E402
+    host_cache_fingerprint as _host_fingerprint,
+)
 
 # persistent XLA compile cache shared by the whole suite: the fused train
 # step compiles once per (shape, statics) across ALL test sessions — the
