@@ -214,3 +214,64 @@ def test_dual_tower_context_and_sdxl_scale_step(tmp_path):
         fvae, fsched, train_text_encoder=False, **_STATIC,
     )
     assert np.isfinite(float(out[4]["loss"]))
+
+
+def test_context_token_count_matches_helper_output():
+    """The AOT static token count must equal what concat_context_windows
+    actually produces — including the degenerate concat_count=1 case where
+    the reference strip formula duplicates the single window."""
+    import jax.numpy as jnp
+
+    from stable_diffusion_training_tpu.utils.context import (
+        concat_context_windows,
+        context_token_count,
+    )
+
+    for concat in (1, 2, 3, 5):
+        for strip in (True, False):
+            h = jnp.zeros((2, concat, 77, 4))
+            out = concat_context_windows(h, strip)
+            assert out.shape[1] == context_token_count(77, concat, strip), (
+                concat, strip, out.shape,
+            )
+
+
+def test_cached_context_requires_frozen_te():
+    """cached_text_context with a trainable text encoder would silently
+    weight-decay the unused TE; the config rejects it loudly."""
+    with pytest.raises(ValueError, match="train_text_encoder"):
+        make_config(cached_text_context=True, train_text_encoder=True)
+    cfg = make_config(cached_text_context=True, train_text_encoder=False)
+    assert cfg.cached_text_context
+
+
+def test_dual_tower_separate_ids_for_tower_2():
+    """input_ids_2 routes a separately-tokenized prompt to the second tower
+    (canonical SDXL pads per tower); result differs from reusing ids_1 and
+    the first-tower half is unaffected."""
+    from stable_diffusion_training_tpu.data.latent_cache import (
+        compute_encoder_hidden_states,
+    )
+    from stable_diffusion_training_tpu.models import (
+        CLIPTextModel,
+        CLIPTextModelWithProjection,
+        configs,
+    )
+
+    te1 = CLIPTextModel(**configs.TINY_CLIP)
+    te2 = CLIPTextModelWithProjection(**configs.TINY_CLIP_PROJ)
+    p1 = te1.init(jax.random.PRNGKey(0))
+    p2 = te2.init(jax.random.PRNGKey(1))
+    rng = np.random.RandomState(0)
+    ids1 = rng.randint(0, 1000, (6, 77)).astype(np.int32)
+    ids2 = rng.randint(0, 1000, (6, 77)).astype(np.int32)
+
+    shared = compute_encoder_hidden_states(
+        te1, p1, ids1, concat_count=3, text_encoder_2=te2, te2_params=p2
+    )
+    separate = compute_encoder_hidden_states(
+        te1, p1, ids1, concat_count=3, text_encoder_2=te2, te2_params=p2,
+        input_ids_2=ids2,
+    )
+    np.testing.assert_array_equal(shared[..., :32], separate[..., :32])
+    assert not np.allclose(shared[..., 32:], separate[..., 32:])
