@@ -133,6 +133,10 @@ def flax_params_to_torch_state_dict(
     flat: Dict[str, np.ndarray] = {}
 
     def _unfold(name: str) -> str:
+        # torch layer names whose trailing _N is part of the name, not a
+        # ModuleList index (diffusers TimestepEmbedding.linear_1/linear_2)
+        if name in ("linear_1", "linear_2"):
+            return name
         pieces = name.split("_")
         # re-expand every trailing-digit segment: down_blocks_0 -> down_blocks.0
         out, acc = [], []
