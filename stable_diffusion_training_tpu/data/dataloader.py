@@ -40,13 +40,32 @@ def _shuffle_and_drop_tags(
     coma_separated_shuffle: bool,
     max_tag_count: Optional[int],
     drop_caption_ratio: Optional[float],
+    caption_drop_mode: str = "tags",
 ) -> str:
-    """Tag-level caption augmentation for comma-separated tag datasets."""
+    """Caption augmentation. ``drop_caption_ratio`` semantics depend on the
+    per-repo ``caption_drop_mode`` (the upstream streamer repo is not in the
+    reference snapshot, so the knob's meaning is ambiguous — see
+    ``/root/reference/model_properties_example.json:60-87``; both
+    conventions exist in the wild and are supported explicitly):
+
+    - ``"tags"`` (default): keep that FRACTION of the shuffled
+      comma-separated tags (tag-level caption thinning; requires
+      ``coma_separated_shuffle``);
+    - ``"whole"``: drop the ENTIRE caption with that PROBABILITY (the
+      classifier-free-guidance unconditional-training convention).
+    """
+    if caption_drop_mode == "whole":
+        if drop_caption_ratio and rng.random() < float(drop_caption_ratio):
+            return ""
+    elif caption_drop_mode != "tags":
+        raise ValueError(
+            f"caption_drop_mode must be 'tags' or 'whole', got {caption_drop_mode!r}"
+        )
     if not coma_separated_shuffle:
         return caption
     tags = [t.strip() for t in caption.split(",") if t.strip()]
     rng.shuffle(tags)
-    if drop_caption_ratio:
+    if drop_caption_ratio and caption_drop_mode == "tags":
         keep = max(1, int(round(len(tags) * float(drop_caption_ratio))))
         tags = tags[:keep]
     if max_tag_count:
@@ -376,8 +395,15 @@ class DataLoader:
         for wh, group in groups:
             for indices in group:
                 self._batches.append({"resolution": wh, "indices": indices})
-        self._bulk_batch_count = len(self._batches)
-        self._first_batch_count = 0
+        # the reference trainer treats first/bulk as DISTINCT totals and
+        # sums them for the loop bound + progress bar
+        # (/root/reference/training.py:142-143,190); the streamer's "first"
+        # set is the batch group available as soon as dispatch starts, so
+        # count the first same-resolution group as "first" and the rest as
+        # "bulk". DEBUG capping (trainer) touches only _bulk_batch_count,
+        # exactly like the reference.
+        self._first_batch_count = min(self.repeat_batch, len(self._batches))
+        self._bulk_batch_count = len(self._batches) - self._first_batch_count
         self._debug(
             f"created {len(self._batches)} batches across {len(buckets)} buckets"
         )
@@ -451,6 +477,7 @@ class DataLoader:
                     repo_cfg.get("coma_separated_shuffle", False),
                     repo_cfg.get("max_tag_count"),
                     repo_cfg.get("drop_caption_ratio"),
+                    repo_cfg.get("caption_drop_mode", "tags"),
                 )
             )
             pixels.append(arr)

@@ -17,10 +17,27 @@ naturally produce after a reshape, avoiding transposes on the hot path.
 """
 
 import functools
+import os
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
+
+# Auto-dispatch thresholds (env-overridable so benchmarks/*_ab.py can A/B
+# them on the real chip without code edits):
+# - flash (Pallas) when keys are long — spatial self-attention
+#   (4096..16k tokens), where the O(S²) logits can't exist at all;
+# - rematerialized XLA when only the QUERY is long — caption
+#   cross-attention (Sq=4096, Sk=227 at 512²). The (B*H, Sq, Sk) f32
+#   softmax residuals of the plain XLA path dominated training temporaries
+#   and capped the batch at 15 on 16G v5e (PERF_NOTES.md round-2);
+#   jax.checkpoint recomputes them in the backward instead (the extra
+#   QK^T at Sk=227 is noise next to the UNet matmuls). The Pallas kernel
+#   is NOT used here: its layout-constrained operand copies pad
+#   head_dim 40→128 lanes (3.2x HBM expansion per operand), which costs
+#   more than the logits it avoids.
+FLASH_MIN_KEY = int(os.environ.get("SDT_FLASH_MIN_KEY", "2048"))
+REMAT_MIN_QUERY = int(os.environ.get("SDT_REMAT_MIN_QUERY", "1024"))
 
 
 def dot_product_attention(
@@ -78,20 +95,30 @@ def attention(
     ``"flash"``, or ``"xla"``.
     """
     if backend == "auto":
-        # flash wins when the logits matrix is large (self-attention over
-        # spatial tokens); for short/medium key sequences (77/227-token text
-        # cross-attention, 1024-token mid levels) the fused XLA path wins and
-        # fuses better with its neighbors. v5e sweep (benchmarks/flash_ab.py):
-        # 4096 tokens fwd+bwd flash 254ms vs xla 294ms; 1024 tokens flash
-        # 23.2ms vs xla 21.0ms; 16k tokens flash-only — xla OOMs.
-        use_flash = _flash_available() and key.shape[1] >= 2048
-        backend = "flash" if use_flash else "xla"
+        # see module docstring for the three-way policy. v5e sweep
+        # (benchmarks/flash_ab.py): self 4096 fwd+bwd flash 254ms vs xla
+        # 294ms; self 1024 flash 23.2ms vs xla 21.0ms; 16k flash-only (xla
+        # OOMs). Short both-ways (77/227-key cross at mid levels,
+        # 64..256-token self) the plain fused XLA path wins and fuses
+        # better with its neighbors.
+        if _flash_available() and mask is None and key.shape[1] >= FLASH_MIN_KEY:
+            backend = "flash"
+        elif query.shape[1] >= REMAT_MIN_QUERY:
+            backend = "xla_remat"
+        else:
+            backend = "xla"
     if backend == "flash":
         from .flash_attention import flash_attention, flash_supported
 
         if flash_supported(query, key, mask):
             return flash_attention(query, key, value, scale=scale)
         backend = "xla"
+    if backend == "xla_remat":
+        # identical numerics to "xla"; the f32 logits/softmax are
+        # recomputed in the backward pass instead of saved as residuals
+        return jax.checkpoint(
+            functools.partial(dot_product_attention, scale=scale)
+        )(query, key, value, mask)
     if backend == "xla":
         return dot_product_attention(query, key, value, mask=mask, scale=scale)
     raise ValueError(f"unknown attention backend: {backend!r}")
