@@ -16,12 +16,14 @@ All tensors are ``(batch, seq, heads, head_dim)`` — the layout convolutions
 naturally produce after a reshape, avoiding transposes on the hot path.
 """
 
+import contextlib
 import functools
 import os
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
+from jax.sharding import PartitionSpec
 
 # Auto-dispatch thresholds (env-overridable so benchmarks/*_ab.py can A/B
 # them on the real chip without code edits):
@@ -38,6 +40,74 @@ import jax.numpy as jnp
 #   more than the logits it avoids.
 FLASH_MIN_KEY = int(os.environ.get("SDT_FLASH_MIN_KEY", "2048"))
 REMAT_MIN_QUERY = int(os.environ.get("SDT_REMAT_MIN_QUERY", "1024"))
+
+# Mesh context for partitioning the Pallas flash kernel. ``pallas_call`` is a
+# custom call with no GSPMD partitioning rule, so on a sharded mesh XLA must
+# all-gather its operands to replicated and run the full kernel on every
+# device — the exact opposite of tensor parallelism. Attention is
+# embarrassingly parallel over (batch, heads), so when a mesh context is set
+# the flash path runs inside ``jax.shard_map`` manual over the batch and head
+# axes (heads sharded by the Megatron column-parallel q/k/v projections,
+# ``parallel/sharding.py``): each device runs the kernel on its local
+# (B/dp, S, H/tp, D) block with ZERO collectives. All other mesh axes (fsdp)
+# stay in GSPMD auto mode. Enabled by ``train.states`` whenever states are
+# placed on a mesh with a nontrivial batch or head axis.
+_ATTENTION_MESH = None  # (mesh, batch_axis, head_axis) | None
+
+
+def set_attention_mesh(
+    mesh,
+    batch_axis: str = "data_parallel",
+    head_axis: str = "model_parallel",
+) -> None:
+    """Process-level default mesh for partitioned flash attention (pass
+    ``None`` to clear). Affects subsequent traces, like flax's axis-rules
+    context; scoped alternative: ``attention_mesh``."""
+    global _ATTENTION_MESH
+    _ATTENTION_MESH = None if mesh is None else (mesh, batch_axis, head_axis)
+
+
+@contextlib.contextmanager
+def attention_mesh(
+    mesh,
+    batch_axis: str = "data_parallel",
+    head_axis: str = "model_parallel",
+):
+    global _ATTENTION_MESH
+    prev = _ATTENTION_MESH
+    set_attention_mesh(mesh, batch_axis, head_axis)
+    try:
+        yield
+    finally:
+        _ATTENTION_MESH = prev
+
+
+def _shard_mapped_flash(query, key, value, scale):
+    """Flash attention partitioned over (batch, heads); None if no mesh
+    context applies (then the caller runs the kernel unpartitioned)."""
+    ctx = _ATTENTION_MESH
+    if ctx is None:
+        return None
+    mesh, batch_axis, head_axis = ctx
+    sizes = dict(mesh.shape)
+    b, h = query.shape[0], query.shape[2]
+    baxis = batch_axis if sizes.get(batch_axis, 1) > 1 and b % sizes[batch_axis] == 0 else None
+    haxis = head_axis if sizes.get(head_axis, 1) > 1 and h % sizes[head_axis] == 0 else None
+    manual = {a for a in (baxis, haxis) if a}
+    if not manual:
+        return None
+    from .flash_attention import flash_attention
+
+    spec = PartitionSpec(baxis, None, haxis, None)
+    fn = jax.shard_map(
+        functools.partial(flash_attention, scale=scale),
+        mesh=mesh,
+        in_specs=(spec, spec, spec),
+        out_specs=spec,
+        axis_names=manual,
+        check_vma=False,
+    )
+    return fn(query, key, value)
 
 
 def dot_product_attention(
@@ -111,6 +181,9 @@ def attention(
         from .flash_attention import flash_attention, flash_supported
 
         if flash_supported(query, key, mask):
+            sharded = _shard_mapped_flash(query, key, value, scale)
+            if sharded is not None:
+                return sharded
             return flash_attention(query, key, value, scale=scale)
         backend = "xla"
     if backend == "xla_remat":

@@ -85,6 +85,11 @@ class TrainingConfig:
     # number of micro-conditioning time ids: 6 for the SDXL base model
     # (size/crop/target), 5 for the refiner (size/crop/aesthetic-score)
     sdxl_time_ids_count: int = 6
+    # step-level H2D prefetch depth: how many batches keep their async
+    # device_put in flight ahead of the executing step (the reference's
+    # numb_of_prefetched_batch controls CHUNK prefetch, not this). Depth >1
+    # rides out loader queue-timeout hiccups without stalling the UNet.
+    device_prefetch_depth: int = 1
     # bucket grid step. 64 = the reference grid (training_utils.py:134-174);
     # raising it (e.g. 128) quarters the number of aspect-ratio buckets and
     # therefore the number of AOT-compiled XLA programs, at slightly coarser

@@ -317,6 +317,33 @@ def on_device_model_training_state(
     1e-6 LRs) for bit-for-bit fidelity — SURVEY.md §2.2.
     """
     mesh = mesh or mesh_lib.get_default_mesh()
+    fsdp = training_config.fsdp_shard_params
+    tp = getattr(training_config, "tensor_parallel_shard_params", False)
+
+    # Pallas kernels are custom calls with no GSPMD partitioning rule, so on
+    # sharded meshes they must be explicitly partitioned or avoided:
+    # - flash attention: register the mesh so ops.attention runs the kernel
+    #   inside shard_map, manual over the batch (dp) and head (tp) axes —
+    #   head-local/batch-local kernels, zero collectives (tested by
+    #   tests/test_parallel.py::test_tp_flash_attention_no_allgather);
+    # - fused Lion: params/grads sharded under FSDP/TP don't align with the
+    #   kernel's flat block layout, so GSPMD would all-gather every leaf;
+    #   default to the XLA-fused jnp path, which GSPMD partitions elementwise
+    #   (explicit use_pallas_lion=True overrides).
+    from ..ops.attention import set_attention_mesh
+
+    mesh_sizes = dict(mesh.shape)
+    if (
+        mesh_sizes.get("data_parallel", 1) > 1
+        or mesh_sizes.get("model_parallel", 1) > 1
+    ):
+        set_attention_mesh(mesh)
+    else:
+        set_attention_mesh(None)  # idempotent across runs in one process
+    use_pallas_lion = training_config.use_pallas_lion
+    if use_pallas_lion is None and (fsdp or tp):
+        use_pallas_lion = False
+
     models = load_models(training_config=training_config)
     # the reference hardcodes scale 7 and drops the configured LRs
     # (training_utils.py:432-442); honor_learning_rates opts out of that quirk
@@ -346,7 +373,7 @@ def on_device_model_training_state(
         lion_8bit_block_size=training_config.quant_block_size,
         quantize_unet_state=training_config.quantize_unet_state,
         quantize_text_encoder_state=training_config.quantize_text_encoder_state,
-        use_pallas_lion=training_config.use_pallas_lion,
+        use_pallas_lion=use_pallas_lion,
     )
     if not training_config.train_text_encoder:
         # frozen text encoder (SDXL-scale runs, BASELINE config 5): keep the
@@ -358,9 +385,6 @@ def on_device_model_training_state(
             tx=optax.set_to_zero(),
         )
     frozen_states = create_frozen_states(models=models)
-
-    fsdp = training_config.fsdp_shard_params
-    tp = getattr(training_config, "tensor_parallel_shard_params", False)
 
     def _put(tree, fsdp_this: bool = False, tp_this: bool = False):
         if tree is None:

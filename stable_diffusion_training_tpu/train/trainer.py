@@ -79,18 +79,26 @@ def _build_dataloader(config_dict, config_dict_path, tokenizer):
     )
 
 
-def _prefetch_to_device(dataloader, total: int, context_window: int, mesh):
-    """One-ahead host->HBM prefetch: grab batch N+1 and start its async
-    device_put (DP-sharded) while step N executes, so the UNet never waits
-    on the H2D transfer (TPU-native data path; the reference hands numpy to
-    the compiled call, paying the transfer synchronously at dispatch).
+def _prefetch_to_device(
+    dataloader, total: int, context_window: int, mesh, depth: int = 1
+):
+    """Depth-``k`` host->HBM prefetch: keep up to ``depth`` batches with their
+    async device_puts (DP-sharded) in flight while step N executes, so the
+    UNet never waits on the H2D transfer (TPU-native data path; the reference
+    hands numpy to the compiled call, paying the transfer synchronously at
+    dispatch). ``None`` (queue-timeout) entries pass through the buffer
+    without stalling the batches already in flight behind them.
 
     Yields the same (batch | None | 'end_of_batch') stream as
     ``grab_next_batch`` with ids/mask already reshaped to the context window.
     Loaders serve PER-PROCESS batches; ``put_global_batch`` assembles global
     sharded arrays (multi-host pods feed only their own shard — SURVEY §5.8).
     """
+    from collections import deque
+
     from ..core.distributed import put_global_batch
+
+    depth = max(1, int(depth))
 
     def _grab():
         b = dataloader.grab_next_batch()
@@ -100,14 +108,26 @@ def _prefetch_to_device(dataloader, total: int, context_window: int, mesh):
         b["attention_mask"] = b["attention_mask"].reshape(-1, context_window)
         return put_global_batch(b, mesh)
 
-    pending = _grab()
-    for i in range(total):
-        current = pending
-        if i < total - 1 and not (
-            isinstance(current, str) and current == "end_of_batch"
-        ):
-            pending = _grab()  # starts async H2D while caller runs the step
-        yield current
+    buf = deque()
+    grabbed = 0
+    ended = False
+
+    def _fill():
+        # never grab more than `total` items (the loader contract), and stop
+        # at end_of_batch — items after it don't exist
+        nonlocal grabbed, ended
+        while not ended and len(buf) < depth and grabbed < total:
+            b = _grab()
+            grabbed += 1
+            if isinstance(b, str) and b == "end_of_batch":
+                ended = True
+            buf.append(b)
+
+    for _ in range(total):
+        _fill()
+        if not buf:
+            return
+        yield buf.popleft()
 
 
 def _run_save_probe(
@@ -389,6 +409,7 @@ def main(
             total_batches,
             config_dict["text_encoder_context_window"],
             mesh or mesh_lib.get_default_mesh(),
+            depth=config_dict.get("device_prefetch_depth", 1),
         )
         for count, current_batch in enumerate(batch_stream):
             if isinstance(current_batch, str) and current_batch == "end_of_batch":
