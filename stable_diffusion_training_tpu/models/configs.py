@@ -229,6 +229,16 @@ MODEL_FAMILIES = {
         text_encoder=TINY_CLIP,
         text_encoder_2=TINY_CLIP_PROJ,
     ),
+    # dual-tower-width tiny SDXL: cross_attention_dim = TE1 + TE2 hidden
+    # (32+32), the real SDXL proportion (768+1280=2048) — used where the
+    # dual-tower concat context must flow end-to-end (in-loop SDXL eval,
+    # cached_text_context with context_use_tower_2=True)
+    "tiny_sdxl_dual": dict(
+        unet=dict(TINY_SDXL_UNET, cross_attention_dim=64),
+        vae=TINY_VAE,
+        text_encoder=TINY_CLIP,
+        text_encoder_2=TINY_CLIP_PROJ,
+    ),
     "sdxl_refiner": dict(
         unet=SDXL_REFINER_UNET,
         vae=SDXL_VAE,

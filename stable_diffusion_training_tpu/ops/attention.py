@@ -40,6 +40,12 @@ from jax.sharding import PartitionSpec
 #   more than the logits it avoids.
 FLASH_MIN_KEY = int(os.environ.get("SDT_FLASH_MIN_KEY", "2048"))
 REMAT_MIN_QUERY = int(os.environ.get("SDT_REMAT_MIN_QUERY", "1024"))
+# query-chunk size for the long-query/short-key path: each chunk's f32
+# logits block is (B, H, CHUNK, Sk) and chunks are individually
+# rematerialized, so at batch 16 the biggest live logits temp drops from
+# 464 MB (full 4096-row remat recompute — measured as THE allocation that
+# pushed b16 136 MB over the 16G HBM ceiling) to ~116 MB
+QUERY_CHUNK = int(os.environ.get("SDT_QUERY_CHUNK", "1024"))
 
 # Mesh context for partitioning the Pallas flash kernel. ``pallas_call`` is a
 # custom call with no GSPMD partitioning rule, so on a sharded mesh XLA must
@@ -187,11 +193,23 @@ def attention(
             return flash_attention(query, key, value, scale=scale)
         backend = "xla"
     if backend == "xla_remat":
-        # identical numerics to "xla"; the f32 logits/softmax are
-        # recomputed in the backward pass instead of saved as residuals
-        return jax.checkpoint(
+        # identical numerics to "xla" (each query row sees the FULL key set,
+        # so per-chunk softmax is exact — no online rescaling); the f32
+        # logits/softmax of each chunk are recomputed in the backward pass
+        # instead of saved as residuals, and chunking the query keeps the
+        # single live recompute block small
+        sq = query.shape[1]
+        chunk = QUERY_CHUNK
+        body = jax.checkpoint(
             functools.partial(dot_product_attention, scale=scale)
-        )(query, key, value, mask)
+        )
+        if mask is not None or sq <= chunk or sq % chunk:
+            return body(query, key, value, mask)
+        outs = [
+            body(query[:, i : i + chunk], key, value, None)
+            for i in range(0, sq, chunk)
+        ]
+        return jnp.concatenate(outs, axis=1)
     if backend == "xla":
         return dot_product_attention(query, key, value, mask=mask, scale=scale)
     raise ValueError(f"unknown attention backend: {backend!r}")

@@ -66,13 +66,48 @@ class EvalSampler:
             prediction_type=config_dict.get("prediction_type", "v_prediction"),
         )
         self._scheduler_state = scheduler.create_state()
-        self._pipe = StableDiffusionPipeline(
-            tokenizer,
-            model_object_dict["text_encoder"],
-            model_object_dict["vae"],
-            model_object_dict["unet"],
-            scheduler,
-        )
+
+        unet = model_object_dict["unet"]
+        self._te2_params = None
+        addition_embed = getattr(
+            getattr(unet, "config", None), "addition_embed_type", None
+        ) or getattr(unet, "addition_embed_type", None)
+        if addition_embed == "text_time":
+            # SDXL (BASELINE config 5): the UNet needs TE2's pooled embeds +
+            # time_ids, but training keeps TE2 out of the live state (frozen
+            # towers, cached context) — load it here, eval-only/lazily, from
+            # the checkpoint dir or the model family
+            from ..pipeline import StableDiffusionXLPipeline
+
+            te2, te2_params, tokenizer_2 = self._load_text_encoder_2(
+                config_dict
+            )
+            if te2 is None:
+                print(
+                    "eval sampling disabled: SDXL UNet but no text_encoder_2 "
+                    "found (model_path has no text_encoder_2/ and the model "
+                    "family defines none)"
+                )
+                self.interval = 0
+                return
+            self._te2_params = jax.device_put(te2_params)
+            self._pipe = StableDiffusionXLPipeline(
+                tokenizer,
+                tokenizer_2,
+                model_object_dict["text_encoder"],
+                te2,
+                model_object_dict["vae"],
+                unet,
+                scheduler,
+            )
+        else:
+            self._pipe = StableDiffusionPipeline(
+                tokenizer,
+                model_object_dict["text_encoder"],
+                model_object_dict["vae"],
+                model_object_dict["unet"],
+                scheduler,
+            )
 
         prompts = config_dict.get("eval_sample_prompts")
         prompt_ids = config_dict.get("eval_sample_prompt_ids")
@@ -91,6 +126,52 @@ class EvalSampler:
             # no tokenizer to build the unconditional branch: reuse an
             # all-pad row (id 0) as the negative prompt
             self._neg_ids = np.zeros_like(self._prompt_ids)
+
+    @staticmethod
+    def _load_text_encoder_2(config_dict):
+        """TE2 (OpenCLIP-bigG tower) for SDXL eval: from the checkpoint's
+        ``text_encoder_2/`` subfolder when ``model_path`` is a diffusers dir,
+        else freshly initialized from the model family (tiny families /
+        benchmarks). Returns (model, params, tokenizer_2) or (None,)*3."""
+        from ..models import CLIPTextModelWithProjection, configs, hf_io
+        from .states import _dtype_from_name
+
+        dtype = _dtype_from_name(
+            config_dict.get("mixed_precision", "bfloat16")
+        )
+        model_dir = config_dict["model_path"]
+        te2_dir = os.path.join(model_dir, "text_encoder_2")
+        if os.path.isdir(te2_dir):
+            te2 = CLIPTextModelWithProjection.from_config(
+                hf_io.load_config_json(te2_dir), dtype=dtype, param_dtype=dtype
+            )
+            params = hf_io.load_text_encoder_2_params(te2_dir, dtype)
+            tok2_dir = os.path.join(model_dir, "tokenizer_2")
+            tokenizer_2 = None
+            if os.path.isdir(tok2_dir):
+                try:
+                    from transformers import CLIPTokenizer
+
+                    tokenizer_2 = CLIPTokenizer.from_pretrained(tok2_dir)
+                except Exception:
+                    tokenizer_2 = None
+            return te2, params, tokenizer_2
+
+        fam_name = (
+            model_dir
+            if model_dir in configs.MODEL_FAMILIES
+            else config_dict.get("model_family")
+        )
+        fam = configs.MODEL_FAMILIES.get(fam_name, {})
+        if "text_encoder_2" not in fam:
+            return None, None, None
+        te2 = CLIPTextModelWithProjection(
+            **fam["text_encoder_2"], dtype=dtype, param_dtype=dtype
+        )
+        params = te2.init(
+            jax.random.PRNGKey(int(config_dict.get("seed_init", 0)))
+        )
+        return te2, params, None
 
     @property
     def active(self) -> bool:
@@ -112,6 +193,8 @@ class EvalSampler:
             "vae": vae_params,
             "scheduler": self._scheduler_state,
         }
+        if self._te2_params is not None:
+            params["text_encoder_2"] = self._te2_params
         kwargs = {}
         if self.resolution:
             kwargs["height"] = kwargs["width"] = int(self.resolution)
