@@ -97,10 +97,21 @@ def _measured_peak_flops(dim: int = 4096, chained: int = 48) -> float:
     return 2.0 * dim * dim * dim * chained / best
 
 
-def _build_config(family, batch, res, reference_style):
+def _build_config(
+    family, batch, res, reference_style,
+    cached=False, frozen_te=False, grad_ckpt=None,
+):
     from stable_diffusion_training_tpu.train import TrainingConfig
 
+    if grad_ckpt is None:
+        grad_ckpt = os.environ.get("BENCH_GRAD_CKPT", "") == "1"
     return TrainingConfig(
+        # SDXL-scale legs (BASELINE configs 4/5): offline VAE latent cache +
+        # precomputed frozen-tower context + micro-conditioning
+        use_latent_cache=cached,
+        cached_text_context=cached and frozen_te,
+        sdxl_micro_conditioning=cached,
+        train_text_encoder=not frozen_te,
         model_path=family,
         batch_size=batch,
         learning_rate=1e-4,
@@ -140,13 +151,47 @@ def _build_config(family, batch, res, reference_style):
             else os.environ.get("BENCH_ATTN", "auto")
         ),
         use_pallas_lion=False if reference_style else None,
-        # BENCH_GRAD_CKPT=1 remats the UNet blocks (bigger batches fit HBM)
-        gradient_checkpointing=os.environ.get("BENCH_GRAD_CKPT", "") == "1",
+        # BENCH_GRAD_CKPT=1 remats the UNet blocks (bigger batches fit HBM);
+        # BENCH_FF_REMAT=1 remats only the GEGLU feed-forwards (cheaper)
+        gradient_checkpointing=grad_ckpt,
+        ff_gradient_checkpointing=os.environ.get("BENCH_FF_REMAT", "") == "1",
     )
 
 
-def run_leg(family, batch, res, steps, reference_style):
-    """Measure one variant of the fused train step. Returns a metrics dict."""
+def synthetic_cached_batch(batch, res, ctx_len=227, ctx_dim=2048,
+                           pooled_dim=1280, time_ids_count=6):
+    """SDXL-recipe batch: offline VAE latent moments + precomputed
+    frozen-dual-tower context + pooled embeds + size/crop time_ids (the
+    shapes ``data.latent_cache`` produces for BASELINE configs 4/5)."""
+    rng = np.random.default_rng(0)
+    lat = res // 8
+    return {
+        "latent_moments": rng.normal(
+            size=(batch, 8, lat, lat)
+        ).astype(np.float32),
+        "encoder_hidden_states": rng.normal(
+            size=(batch, ctx_len, ctx_dim)
+        ).astype(np.float32),
+        "pooled_text_embeds": rng.normal(
+            size=(batch, pooled_dim)
+        ).astype(np.float32),
+        "time_ids": np.tile(
+            np.asarray([res, res, 0, 0, res, res][:time_ids_count],
+                       np.float32),
+            (batch, 1),
+        ),
+    }
+
+
+def run_leg(
+    family, batch, res, steps, reference_style,
+    cached=False, frozen_te=False, grad_ckpt=None,
+):
+    """Measure one variant of the fused train step. Returns a metrics dict.
+
+    ``cached``/``frozen_te``/``grad_ckpt`` select the SDXL-scale recipe
+    (BASELINE configs 4/5): latent-moments batches with precomputed context
+    instead of pixels+ids, frozen text encoder, block remat."""
     from jax.sharding import NamedSharding, PartitionSpec
 
     from stable_diffusion_training_tpu.core import mesh as mesh_lib
@@ -156,15 +201,29 @@ def run_leg(family, batch, res, steps, reference_style):
         train_step,
     )
 
-    cfg = _build_config(family, batch, res, reference_style)
+    cfg = _build_config(
+        family, batch, res, reference_style,
+        cached=cached, frozen_te=frozen_te, grad_ckpt=grad_ckpt,
+    )
     (unet_state, te_state, _, _, frozen_vae, frozen_sched, _) = (
         on_device_model_training_state(cfg)
     )
 
     from stable_diffusion_training_tpu.models import configs as model_configs
 
-    vocab = model_configs.MODEL_FAMILIES[family]["text_encoder"]["vocab_size"]
-    b = synthetic_batch(batch, (res, res), concat_count=3, seed=0, vocab_size=vocab)
+    fam = model_configs.MODEL_FAMILIES[family]
+    if cached:
+        te2 = fam.get("text_encoder_2", {})
+        b = synthetic_cached_batch(
+            batch, res,
+            ctx_dim=fam["unet"]["cross_attention_dim"],
+            pooled_dim=te2.get("projection_dim", 1280),
+        )
+    else:
+        vocab = fam["text_encoder"]["vocab_size"]
+        b = synthetic_batch(
+            batch, (res, res), concat_count=3, seed=0, vocab_size=vocab
+        )
     mesh = mesh_lib.get_default_mesh()
     b = jax.tree_util.tree_map(
         lambda leaf: jax.device_put(
@@ -183,6 +242,7 @@ def run_leg(family, batch, res, steps, reference_style):
             "min_snr_gamma_magnitude",
             "perturbation_noise_magnitude",
             "ema_rate",
+            "train_text_encoder",
         ),
     )
     static_kwargs = dict(
@@ -191,6 +251,7 @@ def run_leg(family, batch, res, steps, reference_style):
         min_snr_gamma_magnitude=0.0,
         perturbation_noise_magnitude=0.0,
         ema_rate=0.0,
+        train_text_encoder=not frozen_te,
     )
 
     # compile ONCE via lower().compile() and reuse the same executable for
@@ -261,6 +322,53 @@ def run_leg(family, batch, res, steps, reference_style):
         "chip_peak_flops": peak or None,
         "loss": final_loss,
     }
+
+
+# BASELINE.md benchmark configurations 3-5 (config 2 is the headline leg;
+# config 1 is a CPU correctness config, not a throughput target). Batch
+# candidates are tried largest-first until one fits HBM.
+EXTRA_LEGS = {
+    "3": dict(  # SD 2.1 @ 768² + 8-bit quantized Lion
+        family="sd21", res=768, batches=(6, 4, 2),
+    ),
+    "4": dict(  # SDXL-scale UNet + gradient checkpointing
+        family="sdxl", res=1024, batches=(8, 4, 2, 1),
+        cached=True, frozen_te=True, grad_ckpt=True,
+    ),
+    "5": dict(  # SDXL 1024² + offline latent cache + frozen text encoders
+        family="sdxl", res=1024, batches=(4, 2, 1),
+        cached=True, frozen_te=True,
+    ),
+}
+
+
+def run_extra_leg(name, steps):
+    spec = dict(EXTRA_LEGS[name])
+    batches = spec.pop("batches")
+    family, res = spec.pop("family"), spec.pop("res")
+    for b in batches:
+        try:
+            r = run_leg(family, b, res, steps, reference_style=False, **spec)
+            return {
+                "metric": f"train_images_per_sec_per_chip_{family}_{res}"
+                + ("_cached" if spec.get("cached") else ""),
+                "value": r["images_per_sec_per_chip"],
+                "unit": "images/sec/chip",
+                "baseline_config": name,
+                "batch_size": b,
+                **{k: v for k, v in r.items()
+                   if k != "images_per_sec_per_chip"},
+                **{k: v for k, v in spec.items() if v},
+            }
+        except Exception as exc:
+            print(
+                f"# config-{name} leg failed at batch {b}: "
+                f"{type(exc).__name__}",
+                flush=True,
+            )
+    return {"metric": f"baseline_config_{name}", "value": None,
+            "unit": "images/sec/chip", "baseline_config": name,
+            "error": "no batch size fit"}
 
 
 def main():
@@ -342,6 +450,18 @@ def main():
         record["ref_style_mfu"] = ref["mfu"]
         record["ref_style_batch_size"] = ref_batch
     print(json.dumps(record))
+
+    # BENCH_CONFIGS="3,4,5" (or "all") appends one JSON line per extra
+    # BASELINE config AFTER the headline line (which stays first so
+    # line-oriented consumers keep reading the primary metric)
+    extra = os.environ.get("BENCH_CONFIGS", "")
+    if extra:
+        names = (
+            list(EXTRA_LEGS) if extra == "all" else
+            [n.strip() for n in extra.split(",") if n.strip() in EXTRA_LEGS]
+        )
+        for name in names:
+            print(json.dumps(run_extra_leg(name, max(4, steps // 2))))
 
 
 if __name__ == "__main__":

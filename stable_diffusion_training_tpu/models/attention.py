@@ -15,12 +15,31 @@ exact (non-approximated) attention. TPU-first differences:
 - fp32 softmax accumulation regardless of the bf16 compute dtype.
 """
 
+import os
 from typing import Optional
 
 import flax.linen as nn
 import jax.numpy as jnp
 
 from ..ops.attention import attention
+
+# Rematerialize the GEGLU feed-forward blocks: their (B, S, 4*dim) bf16
+# intermediates are among the largest saved residuals at big batches
+# (measured 320 MB apiece for SD1.5 512² b16 L0), and recomputing them in
+# the backward costs only two matmuls. Process-level toggle set from
+# TrainingConfig.ff_gradient_checkpointing by train.states (trace-time
+# setting, like ops.attention's mesh context); SDT_REMAT_FF=1 overrides the
+# default for benchmarks. Remat never changes numerics.
+_REMAT_FF = os.environ.get("SDT_REMAT_FF", "0") == "1"
+
+
+def set_remat_ff(enabled: bool) -> None:
+    global _REMAT_FF
+    _REMAT_FF = bool(enabled)
+
+
+def remat_ff_enabled() -> bool:
+    return _REMAT_FF
 
 
 class Attention(nn.Module):
@@ -165,13 +184,18 @@ class BasicTransformerBlock(nn.Module):
 
         residual = hidden_states
         hidden_states = ln("norm3")(hidden_states)
-        hidden_states = FeedForward(
+        ff_cls = (
+            nn.remat(FeedForward, static_argnums=(-1,))
+            if remat_ff_enabled()
+            else FeedForward
+        )
+        hidden_states = ff_cls(
             dim=self.dim,
             dropout=self.dropout,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="ff",
-        )(hidden_states, deterministic=deterministic)
+        )(hidden_states, deterministic)
         return hidden_states + residual
 
 

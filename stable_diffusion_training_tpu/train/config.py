@@ -58,6 +58,11 @@ class TrainingConfig:
     fsdp_shard_params: bool = False  # ZeRO-style param sharding on "fsdp" axis
     tensor_parallel_shard_params: bool = False  # Megatron TP on "model_parallel"
     gradient_checkpointing: bool = False
+    # remat ONLY the transformer feed-forward (GEGLU) blocks: frees their
+    # (B, S, 4*dim) saved intermediates for two extra matmuls of recompute —
+    # the cheap middle ground between no remat and full-block
+    # gradient_checkpointing for batches that almost fit HBM
+    ff_gradient_checkpointing: bool = False
     train_unet: bool = True
     train_text_encoder: bool = True
     mixed_precision: str = "bfloat16"  # computation dtype for the models

@@ -68,6 +68,9 @@ def load_models(training_config: TrainingConfig) -> dict:
     - a model family name (``sd15``/``sd21``/``sdxl``/``tiny``) — random
       init seeded by ``seed_init`` (tests, benchmarks).
     """
+    from ..models.attention import set_remat_ff
+
+    set_remat_ff(training_config.ff_gradient_checkpointing)
     dtype = _dtype_from_name(training_config.mixed_precision)
     model_dir = training_config.model_path
     common = dict(

@@ -317,3 +317,39 @@ class TestCLIPWithProjection:
         np.testing.assert_allclose(
             np.asarray(ours.text_embeds), theirs.text_embeds.numpy(), atol=2e-5
         )
+
+
+def test_ff_remat_identical_numerics_and_params():
+    """ff_gradient_checkpointing (remat of the GEGLU FF) must not change
+    param structure or numerics — it only trades saved residuals for two
+    recompute matmuls in the backward."""
+    import numpy as np
+
+    from stable_diffusion_training_tpu.models.attention import (
+        BasicTransformerBlock,
+        set_remat_ff,
+    )
+
+    blk = BasicTransformerBlock(dim=32, heads=2, dim_head=16,
+                                cross_attention_dim=32)
+    rng = jax.random.PRNGKey(0)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 16, 32)),
+                    jnp.float32)
+    ctx = jnp.asarray(np.random.default_rng(1).normal(size=(2, 8, 32)),
+                      jnp.float32)
+    try:
+        set_remat_ff(False)
+        p = blk.init(rng, x, ctx)
+        o1 = blk.apply(p, x, ctx)
+        g1 = jax.grad(lambda p: blk.apply(p, x, ctx).sum())(p)
+        set_remat_ff(True)
+        p2 = blk.init(rng, x, ctx)
+        assert jax.tree_util.tree_structure(p) == jax.tree_util.tree_structure(p2)
+        o2 = blk.apply(p2, x, ctx)
+        g2 = jax.grad(lambda p: blk.apply(p, x, ctx).sum())(p2)
+    finally:
+        set_remat_ff(False)
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
