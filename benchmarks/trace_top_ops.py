@@ -91,7 +91,9 @@ def main():
     print(f"top {len(top)} ops (plane~'{plane_sub}', line~'{line_sub}'), "
           f"3 steps, batch {batch} @ {res}px:")
     for name, ms, n in top:
-        print(f"  {ms / 3:9.3f} ms/step  x{n:<5d} {name}")
+        # names are full HLO instruction strings; keep "%op = shape opcode"
+        short = name if len(name) <= 140 else name[:137] + "..."
+        print(f"  {ms / 3:9.3f} ms/step  x{n:<5d} {short}")
     print(f"  sum of listed: {total_ms / 3:.1f} ms/step")
 
 

@@ -130,7 +130,7 @@ def test_zip_chunk_end_to_end(tmp_path, fake_hub):
     loader.prepare_training_dataframe()
     assert len(loader._dataframe) == n
     loader.create_training_dataframe()
-    assert loader._bulk_batch_count == n // 2
+    assert loader._first_batch_count + loader._bulk_batch_count == n // 2
     loader.dispatch_worker()
 
     seen = 0
