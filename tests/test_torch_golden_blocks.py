@@ -583,3 +583,91 @@ class TestFullModelParity:
         np.testing.assert_allclose(
             np.asarray(ours), theirs.numpy(), atol=3e-5, rtol=1e-4
         )
+
+
+class TorchTinyDecoder(tnn.Module):
+    """diffusers Decoder for the TINY_VAE config: conv_in -> mid -> up
+    blocks over reversed channels (layers_per_block+1 resnets, nearest-2x
+    upsample between) -> norm/silu/conv_out."""
+
+    def __init__(self):
+        super().__init__()
+        self.conv_in = tnn.Conv2d(4, 64, 3, padding=1)
+
+        class Mid(tnn.Module):
+            def __init__(self):
+                super().__init__()
+                self.resnets = tnn.ModuleList(
+                    [TorchResnetBlock2D(64, 64), TorchResnetBlock2D(64, 64)]
+                )
+                self.attentions = tnn.ModuleList([TorchVaeAttentionBlock(64)])
+
+            def forward(self, x):
+                x = self.resnets[0](x)
+                x = self.attentions[0](x)
+                return self.resnets[1](x)
+
+        self.mid_block = Mid()
+
+        class Up(tnn.Module):
+            def __init__(self, in_ch, out_ch, upsample):
+                super().__init__()
+                self.resnets = tnn.ModuleList(
+                    [
+                        TorchResnetBlock2D(in_ch, out_ch),
+                        TorchResnetBlock2D(out_ch, out_ch),
+                    ]
+                )
+                if upsample:
+                    self.upsamplers = tnn.ModuleList([TorchUpsample2D(out_ch)])
+
+            def forward(self, x):
+                for r in self.resnets:
+                    x = r(x)
+                if hasattr(self, "upsamplers"):
+                    x = self.upsamplers[0](x)
+                return x
+
+        self.up_blocks = tnn.ModuleList([Up(64, 64, True), Up(64, 32, False)])
+        self.conv_norm_out = tnn.GroupNorm(32, 32, eps=1e-6)
+        self.conv_out = tnn.Conv2d(32, 3, 3, padding=1)
+
+    def forward(self, z):
+        x = self.conv_in(z)
+        x = self.mid_block(x)
+        for block in self.up_blocks:
+            x = block(x)
+        return self.conv_out(F.silu(self.conv_norm_out(x)))
+
+
+class TestFullVaeDecodeParity:
+    def test_tiny_vae_decode(self, rng):
+        """Full tiny-VAE decode (post_quant_conv + decoder incl. nearest-2x
+        upsampling) matches the hand-assembled torch equivalent."""
+        vae = AutoencoderKL(**configs.TINY_VAE)
+        params = vae.init(rng, batch_size=2, resolution=16)
+        z = jax.random.normal(rng, (2, 4, 4, 4))
+
+        dec = TorchTinyDecoder()
+        post = tnn.Conv2d(4, 4, 1)
+        sd = flax_params_to_torch_state_dict(params)
+        dec_sd = {
+            k[len("decoder."):]: torch.tensor(np.asarray(v))
+            for k, v in sd.items()
+            if k.startswith("decoder.")
+        }
+        dec.load_state_dict(dec_sd, strict=True)
+        post.load_state_dict(
+            {
+                "weight": torch.tensor(np.asarray(sd["post_quant_conv.weight"])),
+                "bias": torch.tensor(np.asarray(sd["post_quant_conv.bias"])),
+            }
+        )
+        dec.eval()
+
+        ours = vae.decode(z, params).sample
+        with torch.no_grad():
+            theirs = dec(post(torch.tensor(np.asarray(z))))
+        np.testing.assert_allclose(
+            np.asarray(ours), theirs.numpy(), atol=3e-5, rtol=1e-4
+        )
