@@ -73,6 +73,15 @@ class EvalSampler:
             getattr(unet, "config", None), "addition_embed_type", None
         ) or getattr(unet, "addition_embed_type", None)
         if addition_embed == "text_time":
+            if int(config_dict.get("sdxl_time_ids_count", 6)) != 6:
+                # refiner UNet (5 aesthetic-score time ids): img2img only —
+                # there is no from-noise eval to sample; disable cleanly
+                print(
+                    "eval sampling disabled: refiner-style UNet "
+                    "(sdxl_time_ids_count != 6) has no text-to-image path"
+                )
+                self.interval = 0
+                return
             # SDXL (BASELINE config 5): the UNet needs TE2's pooled embeds +
             # time_ids, but training keeps TE2 out of the live state (frozen
             # towers, cached context) — load it here, eval-only/lazily, from

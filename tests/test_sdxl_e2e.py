@@ -231,3 +231,28 @@ def test_sdxl_in_loop_eval_sampling(tmp_path, monkeypatch):
     assert step_dirs, "no eval sample directories written"
     pngs = os.listdir(os.path.join(eval_dir, step_dirs[0]))
     assert any(p.endswith(".png") for p in pngs)
+
+
+def test_eval_sampler_disabled_for_refiner_unet():
+    """Refiner runs (5 aesthetic-score time ids) have no text-to-image eval
+    path; the sampler must disable itself instead of mis-assembling a base
+    SDXL pipeline (projection dim 5*8+16 != 6*8+16 would crash mid-run)."""
+    from stable_diffusion_training_tpu.models import UNet2DConditionModel
+    from stable_diffusion_training_tpu.train.eval_sampler import EvalSampler
+
+    unet = UNet2DConditionModel(
+        **configs.MODEL_FAMILIES["tiny_sdxl_refiner"]["unet"],
+        data_format="NHWC",
+    )
+    sampler = EvalSampler(
+        {
+            "eval_sample_interval": 2,
+            "eval_sample_prompt_ids": [[1] * 77],
+            "model_path": "tiny_sdxl_refiner",
+            "model_family": "tiny_sdxl_refiner",
+            "sdxl_time_ids_count": 5,
+        },
+        {"unet": unet, "vae": None, "text_encoder": None},
+        tokenizer=None,
+    )
+    assert not sampler.active
