@@ -103,6 +103,92 @@ def _lion_kernel_wide(g_ref, codes_ref, scales_ref, upd_ref, new_codes_ref,
     new_scales_ref[:] = scales.astype(new_scales_ref.dtype)
 
 
+def _lion_kernel_transposed(g_ref, codes_ref, scales_ref, upd_ref,
+                            new_codes_ref, new_scales_ref, *, b1, b2):
+    """Block-transposed layout: refs are (bs, cols) with one BLOCK per lane.
+
+    Every lane is fully packed (vs 16/128 in the narrow layout's (rows, bs)
+    tiles — 8x DMA pad amplification at the config's bs=16, measured as the
+    dominant train-step sink in the round-3 trace), the (1, cols) scales are
+    lane-dense (vs (nb, 1), which pads 128x), and per-block absmax is a
+    cheap cross-sublane reduction. Measured 3.0x faster than narrow on v5e
+    at 16M params, bitwise identical (benchmarks/lion_transposed_ab.py)."""
+    g = g_ref[:].astype(jnp.float32)                      # (bs, cols)
+    mu = _dequantize(codes_ref[:], jnp.float32) / scales_ref[:]
+
+    upd_ref[:] = jnp.sign((1.0 - b1) * g + b1 * mu).astype(upd_ref.dtype)
+
+    mu_new = (1.0 - b2) * g + b2 * mu
+    absmax = jnp.max(jnp.abs(mu_new), axis=0, keepdims=True)  # (1, cols)
+    scales = 1.0 / jnp.where(absmax <= 0.0, 1.0, absmax)
+    new_codes_ref[:] = _quantize(mu_new * scales)
+    new_scales_ref[:] = scales.astype(new_scales_ref.dtype)
+
+
+_DEFAULT_COLS = 8192
+
+
+def fused_lion8bit_update_transposed(
+    grad: jnp.ndarray,
+    codes_t: jnp.ndarray,
+    scales_t: jnp.ndarray,
+    b1: float = 0.9,
+    b2: float = 0.99,
+    mu_scale_dtype=jnp.float32,
+    cols_per_tile: int = _DEFAULT_COLS,
+    interpret: bool = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Fused update for one quantized leaf in the block-TRANSPOSED layout.
+
+    ``grad``: any shape with ``grad.size == codes_t.size``; ``codes_t``:
+    ``(bs, n_blocks)`` int8 (block dim on sublanes, block index on lanes);
+    ``scales_t``: ``(1, n_blocks)``. Returns ``(update_sign, new_codes_t,
+    new_scales_t)`` with ``update_sign`` reshaped to ``grad.shape``.
+    Numerics bitwise-equal to the narrow layout and the jnp path."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    bs, nb = codes_t.shape
+    g2 = grad.reshape(nb, bs).T  # per-step relayout of the grads (f32)
+
+    cols = min(cols_per_tile, nb)
+    pad = (-nb) % cols
+    if pad:
+        g2 = jnp.pad(g2, ((0, 0), (0, pad)))
+        codes_t = jnp.pad(codes_t, ((0, 0), (0, pad)))
+        scales_t = jnp.pad(scales_t, ((0, 0), (0, pad)), constant_values=1.0)
+    nbp = nb + pad
+
+    kernel = functools.partial(
+        _lion_kernel_transposed, b1=float(b1), b2=float(b2)
+    )
+    upd, new_codes, new_scales = pl.pallas_call(
+        kernel,
+        grid=(nbp // cols,),
+        in_specs=[
+            pl.BlockSpec((bs, cols), lambda i: (0, i)),
+            pl.BlockSpec((bs, cols), lambda i: (0, i)),
+            pl.BlockSpec((1, cols), lambda i: (0, i)),
+        ],
+        out_specs=[
+            pl.BlockSpec((bs, cols), lambda i: (0, i)),
+            pl.BlockSpec((bs, cols), lambda i: (0, i)),
+            pl.BlockSpec((1, cols), lambda i: (0, i)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bs, nbp), grad.dtype),
+            jax.ShapeDtypeStruct((bs, nbp), jnp.int8),
+            jax.ShapeDtypeStruct((1, nbp), jnp.dtype(mu_scale_dtype)),
+        ],
+        interpret=interpret,
+    )(g2, codes_t, scales_t)
+
+    if pad:
+        upd = upd[:, :nb]
+        new_codes = new_codes[:, :nb]
+        new_scales = new_scales[:, :nb]
+    return upd.T.reshape(grad.shape), new_codes, new_scales
+
+
 def _lion_kernel(g_ref, codes_ref, scales_ref, upd_ref, new_codes_ref,
                  new_scales_ref, *, b1, b2, mu_dtype):
     g = g_ref[:].astype(jnp.float32)  # (rows, bs)

@@ -15,9 +15,17 @@ Numerics parity with ``/root/reference/lion_quant.py``:
   (negated) learning rate (L201-211). Default ``block_size`` differs between
   the two entry points on purpose (16 vs 64), matching the reference.
 
-The pytree-of-blocks layout keeps the int8 codes as flat ``(n, block_size)``
-arrays, which XLA:TPU lays out densely; the fused Pallas path
-(``ops.lion_kernel``) consumes the identical state layout.
+State layout is block-TRANSPOSED: int8 codes are ``(block_size, n_blocks)``
+and scales ``(1, n_blocks)`` — block dim on VPU sublanes, block index on
+lanes. The reference's logical view is ``(n_blocks, block_size)``; values
+are identical under transpose (parity-tested), but the transposed layout is
+what makes the optimizer fast on TPU: at the config's ``block_size=16``,
+``(rows, 16)`` tiles fill 16/128 lanes (8x DMA pad amplification — measured
+as the single largest train-step sink, 430 ms/step, in the round-3 xprof
+trace) and ``(n_blocks, 1)`` scales pad 128x. The fused Pallas kernel
+(``ops.lion_kernel.fused_lion8bit_update_transposed``) consumes this layout
+directly and measured 3.0x faster than the narrow-layout kernel on v5e,
+bitwise-equal (PERF_NOTES.md round 3).
 """
 
 from typing import Any, Callable, NamedTuple, Optional, Union
@@ -73,8 +81,9 @@ def scale_by_lion_8bit(
         return ((q / 127) ** 5).astype(mu_scale_dtype) - _ZERO_CROSSING_OFFSET
 
     def _block_quantize(leaf: chex.Array):
-        blocks = leaf.reshape(-1, block_size)
-        absmax = jnp.max(jnp.abs(blocks), axis=-1, keepdims=True)
+        # block-transposed: (block_size, n_blocks), scales (1, n_blocks)
+        blocks = leaf.reshape(-1, block_size).T
+        absmax = jnp.max(jnp.abs(blocks), axis=0, keepdims=True)
         # inverse scales with zero-block guard (divide-by-zero -> scale 1)
         scales = 1 / jnp.where(
             absmax <= 0.0, jnp.ones_like(absmax, dtype=mu_scale_dtype), absmax
@@ -82,8 +91,8 @@ def scale_by_lion_8bit(
         return _quantize(blocks * scales), scales
 
     def _block_dequantize(shape_struct, codes: chex.Array, scales: chex.Array):
-        blocks = _dequantize(codes) / scales
-        return blocks.reshape(shape_struct.shape)
+        blocks = _dequantize(codes) / scales  # (block_size, n_blocks)
+        return blocks.T.reshape(shape_struct.shape)
 
     def _shape_tree(tree):
         return jax.tree.map(lambda x: jax.eval_shape(lambda y: y, x), tree)
@@ -114,8 +123,8 @@ def scale_by_lion_8bit(
                 )
             n_blocks = leaf.size // block_size
             return (
-                jnp.full((n_blocks, block_size), zero_code, jnp.int8),
-                jnp.ones((n_blocks, 1), mu_scale_dtype),
+                jnp.full((block_size, n_blocks), zero_code, jnp.int8),
+                jnp.ones((1, n_blocks), mu_scale_dtype),
             )
 
         mu_quant = jax.tree_util.tree_map_with_path(_init_leaf, params, mask)
@@ -133,7 +142,7 @@ def scale_by_lion_8bit(
             pallas = jax.default_backend() == "tpu"
 
         if pallas:
-            from ..ops.lion_kernel import fused_lion8bit_update
+            from ..ops.lion_kernel import fused_lion8bit_update_transposed
 
             def _fused(g, m, shape):
                 if not _is_quantized(m):
@@ -142,7 +151,7 @@ def scale_by_lion_8bit(
                         (1 - b2) * g + b2 * m,
                     )
                 codes, scales = m
-                upd, new_codes, new_scales = fused_lion8bit_update(
+                upd, new_codes, new_scales = fused_lion8bit_update_transposed(
                     g, codes, scales, b1=b1, b2=b2,
                     mu_scale_dtype=mu_scale_dtype,
                 )

@@ -52,8 +52,9 @@ def test_quantizer_roundtrip_accuracy():
     state = tx.init(params)
     codes, scales = state.mu_quant["w"]
     assert codes.dtype == jnp.int8
-    assert codes.shape == (8, 16)
-    assert scales.shape == (8, 1)
+    # block-transposed layout: block dim on sublanes, block index on lanes
+    assert codes.shape == (16, 8)
+    assert scales.shape == (1, 8)
     # zero momentum -> code 3 everywhere (reference lion_quant.py:49-59 math)
     assert int(jnp.min(codes)) == 3 and int(jnp.max(codes)) == 3
 
@@ -80,8 +81,9 @@ def test_roundtrip_error_bound():
     _, s = ours.update(x, s)  # momentum := x, quantized
     codes, scales = s.mu_quant["w"]
     deq = ((codes.astype(jnp.float32) / 127) ** 5 - 3.7398995e-09) / scales
+    # codes are block-transposed (bs, nb): transpose back before flattening
     np.testing.assert_allclose(
-        np.asarray(deq.reshape(-1)), np.asarray(x["w"]), atol=0.02
+        np.asarray(deq.T.reshape(-1)), np.asarray(x["w"]), atol=0.02
     )
     del tx, ref
 

@@ -5,7 +5,10 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from stable_diffusion_training_tpu.ops.lion_kernel import fused_lion8bit_update
+from stable_diffusion_training_tpu.ops.lion_kernel import (
+    fused_lion8bit_update,
+    fused_lion8bit_update_transposed,
+)
 from stable_diffusion_training_tpu.optim.lion8bit import scale_by_lion_8bit
 
 
@@ -16,13 +19,15 @@ def _reference_leaf_update(g, codes, scales, b1, b2, block_size):
     )
     params = {"w": jnp.zeros(g.shape, jnp.float32)}
     state = tx.init(params)
-    state = state._replace(mu_quant={"w": (codes, scales)})
+    # state layout is block-transposed (bs, nb); this helper speaks the
+    # reference's (nb, bs) frame, so transpose on the way in and out
+    state = state._replace(mu_quant={"w": (codes.T, scales.T)})
     upd, new_state = tx.update({"w": g}, state)
     new_codes, new_scales = new_state.mu_quant["w"]
-    return upd["w"], new_codes, new_scales
+    return upd["w"], new_codes.T, new_scales.T
 
 
-@pytest.mark.parametrize("layout", ["narrow", "wide"])
+@pytest.mark.parametrize("layout", ["narrow", "wide", "transposed"])
 @pytest.mark.parametrize("block_size", [16, 64, 128])
 @pytest.mark.parametrize("n", [2048, 2000 * 16])
 def test_fused_matches_optax(block_size, n, layout):
@@ -53,9 +58,15 @@ def test_fused_matches_optax(block_size, n, layout):
     ref_upd, ref_codes, ref_scales = _reference_leaf_update(
         g, codes, scales, 0.9, 0.99, block_size
     )
-    out_upd, out_codes, out_scales = fused_lion8bit_update(
-        g, codes, scales, b1=0.9, b2=0.99, interpret=True, layout=layout
-    )
+    if layout == "transposed":
+        out_upd, ct, st = fused_lion8bit_update_transposed(
+            g, codes.T, scales.T, b1=0.9, b2=0.99, interpret=True
+        )
+        out_codes, out_scales = ct.T, st.T
+    else:
+        out_upd, out_codes, out_scales = fused_lion8bit_update(
+            g, codes, scales, b1=0.9, b2=0.99, interpret=True, layout=layout
+        )
 
     np.testing.assert_array_equal(np.asarray(out_upd), np.asarray(ref_upd))
     np.testing.assert_array_equal(np.asarray(out_codes), np.asarray(ref_codes))
@@ -75,6 +86,12 @@ def test_zero_block_guard():
     )
     assert bool(jnp.isfinite(new_scales).all())
     assert bool(jnp.isfinite(upd).all())
+    # same guard through the canonical transposed layout
+    upd_t, _, new_scales_t = fused_lion8bit_update_transposed(
+        g, codes.T, scales.T, interpret=True
+    )
+    assert bool(jnp.isfinite(new_scales_t).all())
+    np.testing.assert_array_equal(np.asarray(upd_t), np.asarray(upd))
 
 
 def test_transform_pallas_matches_jnp_path():

@@ -38,6 +38,21 @@ def ref_sched():
     return ref_compat.load_reference_schedulers()  # (utils, ddpm, ddim)
 
 
+def _untranspose_mu(tree):
+    """Map OUR block-transposed momentum layout (codes (bs, nb), scales
+    (1, nb)) back to the reference's (nb, bs)/(nb, 1) frame so the bitwise
+    comparison stays value-for-value. Non-quantized leaves pass through."""
+    def fix(node):
+        if isinstance(node, tuple) and len(node) == 2:
+            codes, scales = node
+            return (jnp.transpose(codes), jnp.transpose(scales))
+        return node
+
+    return jax.tree_util.tree_map(
+        fix, tree, is_leaf=lambda n: isinstance(n, tuple)
+    )
+
+
 def _tree_assert_equal(a, b, path=""):
     la, ta = jax.tree_util.tree_flatten(a)
     lb, tb = jax.tree_util.tree_flatten(b)
@@ -84,7 +99,9 @@ def test_scale_by_lion_8bit_states_and_updates_match_reference(
 
     ref_state = ref_tx.init(params)
     our_state = our_tx.init(params)
-    _tree_assert_equal(ref_state.mu_quant, our_state.mu_quant, "init mu")
+    _tree_assert_equal(
+        ref_state.mu_quant, _untranspose_mu(our_state.mu_quant), "init mu"
+    )
     np.testing.assert_array_equal(ref_state.count, our_state.count)
 
     rng = jax.random.PRNGKey(42)
@@ -97,7 +114,9 @@ def test_scale_by_lion_8bit_states_and_updates_match_reference(
         our_upd, our_state = our_tx.update(grads, our_state)
         _tree_assert_equal(ref_upd, our_upd, f"updates step {step}")
         _tree_assert_equal(
-            ref_state.mu_quant, our_state.mu_quant, f"mu step {step}"
+            ref_state.mu_quant,
+            _untranspose_mu(our_state.mu_quant),
+            f"mu step {step}",
         )
         np.testing.assert_array_equal(ref_state.count, our_state.count)
 
@@ -150,7 +169,7 @@ def test_lion_8bit_zero_block_guard_matches_reference(ref_lion):
     ref_upd, ref_state = ref_tx.update(grads, ref_state)
     our_upd, our_state = our_tx.update(grads, our_state)
     _tree_assert_equal(ref_upd, our_upd)
-    _tree_assert_equal(ref_state.mu_quant, our_state.mu_quant)
+    _tree_assert_equal(ref_state.mu_quant, _untranspose_mu(our_state.mu_quant))
 
 
 # ---------------------------------------------------------------------------
