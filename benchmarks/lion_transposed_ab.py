@@ -22,67 +22,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental import pallas as pl
 
 from stable_diffusion_training_tpu.ops.lion_kernel import (
-    _dequantize,
-    _quantize,
     fused_lion8bit_update,
+    fused_lion8bit_update_transposed,
 )
 
 BS = 16
-
-
-def _kernel_t(g_ref, codes_ref, scales_ref, upd_ref, new_codes_ref,
-              new_scales_ref, *, b1, b2):
-    g = g_ref[:].astype(jnp.float32)                      # (bs, cols)
-    mu = _dequantize(codes_ref[:], jnp.float32) / scales_ref[:]
-    upd_ref[:] = jnp.sign((1.0 - b1) * g + b1 * mu).astype(upd_ref.dtype)
-    mu_new = (1.0 - b2) * g + b2 * mu
-    absmax = jnp.max(jnp.abs(mu_new), axis=0, keepdims=True)  # (1, cols)
-    scales = 1.0 / jnp.where(absmax <= 0.0, 1.0, absmax)
-    new_codes_ref[:] = _quantize(mu_new * scales)
-    new_scales_ref[:] = scales.astype(new_scales_ref.dtype)
-
-
-def lion_transposed(grad, codes_t, scales_t, b1=0.9, b2=0.99,
-                    cols_per_tile=8192, interpret=False):
-    """codes_t: (bs, nb) int8; scales_t: (1, nb). grad: flat-compatible."""
-    bs, nb = codes_t.shape
-    g2 = grad.reshape(nb, bs).T  # the per-step relayout, part of real cost
-    cols = min(cols_per_tile, nb)
-    pad = (-nb) % cols
-    if pad:
-        g2 = jnp.pad(g2, ((0, 0), (0, pad)))
-        codes_t = jnp.pad(codes_t, ((0, 0), (0, pad)))
-        scales_t = jnp.pad(scales_t, ((0, 0), (0, pad)), constant_values=1.0)
-    nbp = nb + pad
-    kernel = functools.partial(_kernel_t, b1=float(b1), b2=float(b2))
-    upd, new_codes, new_scales = pl.pallas_call(
-        kernel,
-        grid=(nbp // cols,),
-        in_specs=[
-            pl.BlockSpec((bs, cols), lambda i: (0, i)),
-            pl.BlockSpec((bs, cols), lambda i: (0, i)),
-            pl.BlockSpec((1, cols), lambda i: (0, i)),
-        ],
-        out_specs=[
-            pl.BlockSpec((bs, cols), lambda i: (0, i)),
-            pl.BlockSpec((bs, cols), lambda i: (0, i)),
-            pl.BlockSpec((1, cols), lambda i: (0, i)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((bs, nbp), grad.dtype),
-            jax.ShapeDtypeStruct((bs, nbp), jnp.int8),
-            jax.ShapeDtypeStruct((1, nbp), jnp.float32),
-        ],
-        interpret=interpret,
-    )(g2, codes_t, scales_t)
-    if pad:
-        upd = upd[:, :nb]
-        new_codes = new_codes[:, :nb]
-        new_scales = new_scales[:, :nb]
-    return upd.T.reshape(grad.shape), new_codes, new_scales
 
 
 def main():
@@ -99,7 +45,7 @@ def main():
     u1, c1, s1 = jax.jit(
         lambda g, c, s: fused_lion8bit_update(g, c, s, interpret=interpret)
     )(grad, codes, scales)
-    f_t = jax.jit(lambda g, ct, st: lion_transposed(
+    f_t = jax.jit(lambda g, ct, st: fused_lion8bit_update_transposed(
         g, ct, st, interpret=interpret))
     u2, c2, s2 = f_t(grad, codes.T, scales.T)
     np.testing.assert_array_equal(np.asarray(u1), np.asarray(u2))

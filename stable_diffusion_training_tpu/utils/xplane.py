@@ -109,8 +109,11 @@ def op_durations(
     """Aggregate event durations by op name.
 
     Returns ``{op_name: (total_duration_ps, occurrences)}`` summed over all
-    matching planes/lines. ``line_substring=""`` matches every line (useful
-    for relay/CPU traces whose line naming differs)."""
+    matching planes/lines. The line filter is an EXACT name match ("" =
+    every line): substring matching would silently merge "XLA Ops" with
+    "Async XLA Ops", whose event durations are overlap occupancy, not
+    serialized device time — mixing them misattributes async weight
+    prefetches as the top sink (observed on the first round-3 trace)."""
     totals: Dict[str, Tuple[float, int]] = {}
     for name, plane in planes(xspace):
         if plane_substring not in name:
@@ -119,7 +122,7 @@ def op_durations(
         for field, _, line in _fields(plane):
             if field != 3:
                 continue
-            if line_substring and line_substring not in _line_name(line):
+            if line_substring and line_substring != _line_name(line):
                 continue
             for f2, _, event in _fields(line):
                 if f2 != 4:

@@ -76,5 +76,21 @@ def test_empty_line_filter_matches_all(tmp_path):
     assert xplane.top_ops(str(path), line_substring="") == [
         ("op_a", 0.002, 1)
     ]
-    # the default filter excludes the non-matching line name
+    # the default filter (exact match) excludes the non-matching line name
     assert xplane.top_ops(str(path)) == []
+    # exact matching: a line named "Async XLA Ops" must NOT match "XLA Ops"
+
+
+def test_exact_line_match_excludes_async_variant(tmp_path):
+    metas = [(1, "op_a")]
+    plane = _plane(
+        "/device:TPU:0",
+        [
+            _line("XLA Ops", [_event(1, 0, 2_000_000)]),
+            _line("Async XLA Ops", [_event(1, 0, 50_000_000)]),
+        ],
+        metas,
+    )
+    path = tmp_path / "t.xplane.pb"
+    path.write_bytes(_xspace([plane]))
+    assert xplane.top_ops(str(path)) == [("op_a", 0.002, 1)]
