@@ -15,17 +15,27 @@ Numerics parity with ``/root/reference/lion_quant.py``:
   (negated) learning rate (L201-211). Default ``block_size`` differs between
   the two entry points on purpose (16 vs 64), matching the reference.
 
-State layout is block-TRANSPOSED: int8 codes are ``(block_size, n_blocks)``
-and scales ``(1, n_blocks)`` — block dim on VPU sublanes, block index on
-lanes. The reference's logical view is ``(n_blocks, block_size)``; values
-are identical under transpose (parity-tested), but the transposed layout is
-what makes the optimizer fast on TPU: at the config's ``block_size=16``,
-``(rows, 16)`` tiles fill 16/128 lanes (8x DMA pad amplification — measured
-as the single largest train-step sink, 430 ms/step, in the round-3 xprof
-trace) and ``(n_blocks, 1)`` scales pad 128x. The fused Pallas kernel
-(``ops.lion_kernel.fused_lion8bit_update_transposed``) consumes this layout
-directly and measured 3.0x faster than the narrow-layout kernel on v5e,
-bitwise-equal (PERF_NOTES.md round 3).
+State layout is per-leaf, chosen for TPU DMA density (the reference's
+logical view is ``(n_blocks, block_size)``; values are identical under
+either relayout, parity-tested — use ``momentum_to_reference_layout`` to
+compare):
+
+- **dense** (leaves whose size is a multiple of 1024, with ``block_size``
+  in {8,16}): int8 codes are the parameter's own ``(size/128, 128)``
+  flat bitcast view — a quantization block is ``block_size`` consecutive
+  LANES of one row, so block membership matches the reference flat
+  blocking bit-for-bit — and scales are stored tile-grouped
+  (``_scales_flat_to_dense``: shape ``(gpr * x/r, r)``, every kernel
+  tile's scales a full-lane-width contiguous block).
+  The fused kernel (``ops.lion_kernel.fused_lion8bit_update_dense``)
+  consumes grads and emits updates in the parameter's natural layout:
+  zero XLA transpose copies (the round-3 trace measured ~103 ms/step of
+  them around the transposed layout below).
+- **transposed** (all other quantized leaves): codes ``(block_size,
+  n_blocks)``, scales ``(1, n_blocks)`` — block dim on VPU sublanes,
+  block index on lanes. Still 3.0x faster than the narrow ``(rows, bs)``
+  layout (which pads 16/128 lanes, measured as the single largest
+  train-step sink, 430 ms/step, in the first round-3 xprof trace).
 """
 
 from typing import Any, Callable, NamedTuple, Optional, Union
@@ -49,6 +59,76 @@ class ScaleBy8bitLionState(NamedTuple):
 
 def _is_quantized(node) -> bool:
     return isinstance(node, tuple)
+
+
+def _dense_ok(size: int, block_size: int) -> bool:
+    """Dense-layout eligibility (re-exported as
+    ``ops.lion_kernel.dense_layout_ok``): the flat leaf must bitcast-view
+    as ``(size/128, 128)`` whole 8-row sublane tiles, and blocks must be
+    whole lane groups with >=8 groups per row (the scales tile's sublane
+    dim must satisfy Mosaic's divisible-by-8 block rule)."""
+    return size % 1024 == 0 and block_size in (8, 16)
+
+
+def dense_tile_rows(x: int, cap: int = 1024) -> int:
+    """Canonical dense-kernel tile height for a leaf with ``x = size/128``
+    rows: the largest multiple-of-8 divisor of ``x`` that is <= cap. Also
+    fixes the dense scales storage shape, so it must stay deterministic."""
+    best = 8
+    for k in range(1, cap // 8 + 1):
+        r = 8 * k
+        if r > cap:
+            break
+        if x % r == 0:
+            best = r
+    return best
+
+
+def _is_dense(codes, scales) -> bool:
+    """Distinguish the two quantized layouts by the scales leading dim:
+    transposed scales are ``(1, nb)``; dense are ``(gpr*x/r >= 8, r)``."""
+    return scales.shape[0] != 1
+
+
+def _scales_flat_to_dense(scales_flat, x: int, gpr: int, r: Optional[int] = None):
+    """Flat per-block scales ``(nb,)`` -> tile-grouped dense storage
+    ``(gpr * x/r, r)``: row ``t*gpr + j``, lane ``c`` holds the scale of
+    block ``(t*r + c) * gpr + j`` (dense row ``t*r + c``, lane group j).
+    Grouping by kernel tile keeps every scales block full-lane-width,
+    which Mosaic requires of non-terminal block dims."""
+    if r is None:
+        r = dense_tile_rows(x)
+    return (
+        scales_flat.reshape(x // r, r, gpr)
+        .transpose(0, 2, 1)
+        .reshape(gpr * x // r, r)
+    )
+
+
+def _scales_dense_to_flat(scales_d, x: int):
+    """Inverse of ``_scales_flat_to_dense``."""
+    rows, r = scales_d.shape
+    gpr = rows * r // x
+    return (
+        scales_d.reshape(x // r, gpr, r)
+        .transpose(0, 2, 1)
+        .reshape(-1)
+    )
+
+
+def momentum_to_reference_layout(node):
+    """Map a quantized momentum leaf (either layout) to the reference's
+    ``(n_blocks, block_size)`` codes + ``(n_blocks, 1)`` scales view."""
+    codes, scales = node
+    if _is_dense(codes, scales):
+        x = codes.shape[0]
+        nb = scales.size
+        bs = codes.size // nb
+        return (
+            codes.reshape(-1, bs),
+            _scales_dense_to_flat(scales, x).reshape(-1, 1),
+        )
+    return (jnp.transpose(codes), jnp.transpose(scales))
 
 
 def scale_by_lion_8bit(
@@ -80,7 +160,24 @@ def scale_by_lion_8bit(
     def _dequantize(q: chex.Array) -> chex.Array:
         return ((q / 127) ** 5).astype(mu_scale_dtype) - _ZERO_CROSSING_OFFSET
 
-    def _block_quantize(leaf: chex.Array):
+    def _block_quantize(leaf: chex.Array, dense: Optional[bool] = None):
+        # requantization must stay in the layout the incoming state uses
+        # (update_fn passes it); init-time callers omit it -> predicate
+        if dense is None:
+            dense = _dense_ok(leaf.size, block_size)
+        if dense:
+            # dense: codes (size/128, 128), scales tile-grouped (see
+            # _scales_flat_to_dense)
+            gpr = 128 // block_size
+            blocks = leaf.reshape(-1, block_size)  # (nb, bs) flat blocks
+            absmax = jnp.max(jnp.abs(blocks), axis=1)
+            scales = 1 / jnp.where(
+                absmax <= 0.0,
+                jnp.ones_like(absmax, dtype=mu_scale_dtype),
+                absmax,
+            )
+            codes = _quantize(blocks * scales[:, None]).reshape(-1, 128)
+            return codes, _scales_flat_to_dense(scales, leaf.size // 128, gpr)
         # block-transposed: (block_size, n_blocks), scales (1, n_blocks)
         blocks = leaf.reshape(-1, block_size).T
         absmax = jnp.max(jnp.abs(blocks), axis=0, keepdims=True)
@@ -91,6 +188,12 @@ def scale_by_lion_8bit(
         return _quantize(blocks * scales), scales
 
     def _block_dequantize(shape_struct, codes: chex.Array, scales: chex.Array):
+        if _is_dense(codes, scales):
+            nb = scales.size
+            bs = codes.size // nb
+            scales_flat = _scales_dense_to_flat(scales, codes.shape[0])
+            blocks = _dequantize(codes.reshape(-1, bs)) / scales_flat[:, None]
+            return blocks.reshape(shape_struct.shape)
         blocks = _dequantize(codes) / scales  # (block_size, n_blocks)
         return blocks.T.reshape(shape_struct.shape)
 
@@ -122,6 +225,14 @@ def scale_by_lion_8bit(
                     "quantization exclusion list"
                 )
             n_blocks = leaf.size // block_size
+            if _dense_ok(leaf.size, block_size):
+                x = leaf.size // 128
+                gpr = 128 // block_size
+                r = dense_tile_rows(x)
+                return (
+                    jnp.full((x, 128), zero_code, jnp.int8),
+                    jnp.ones((gpr * x // r, r), mu_scale_dtype),
+                )
             return (
                 jnp.full((block_size, n_blocks), zero_code, jnp.int8),
                 jnp.ones((1, n_blocks), mu_scale_dtype),
@@ -142,7 +253,10 @@ def scale_by_lion_8bit(
             pallas = jax.default_backend() == "tpu"
 
         if pallas:
-            from ..ops.lion_kernel import fused_lion8bit_update_transposed
+            from ..ops.lion_kernel import (
+                fused_lion8bit_update_dense,
+                fused_lion8bit_update_transposed,
+            )
 
             def _fused(g, m, shape):
                 if not _is_quantized(m):
@@ -151,7 +265,12 @@ def scale_by_lion_8bit(
                         (1 - b2) * g + b2 * m,
                     )
                 codes, scales = m
-                upd, new_codes, new_scales = fused_lion8bit_update_transposed(
+                fused_update = (
+                    fused_lion8bit_update_dense
+                    if _is_dense(codes, scales)
+                    else fused_lion8bit_update_transposed
+                )
+                upd, new_codes, new_scales = fused_update(
                     g, codes, scales, b1=b1, b2=b2,
                     mu_scale_dtype=mu_scale_dtype,
                 )
@@ -189,7 +308,10 @@ def scale_by_lion_8bit(
         # new momentum: b2 EMA of grads, requantized where flagged
         mu_quant = jax.tree_util.tree_map(
             lambda g, m, shape: (
-                _block_quantize((1 - b2) * g + b2 * _block_dequantize(shape, *m))
+                _block_quantize(
+                    (1 - b2) * g + b2 * _block_dequantize(shape, *m),
+                    dense=_is_dense(*m),
+                )
                 if _is_quantized(m)
                 else (1 - b2) * g + b2 * m
             ),

@@ -156,3 +156,117 @@ def test_wide_layout_ragged_block_count(n_blocks):
     np.testing.assert_allclose(
         np.asarray(out_scales), np.asarray(ref_scales), rtol=1e-6
     )
+
+
+@pytest.mark.parametrize("block_size", [8, 16])
+@pytest.mark.parametrize("n", [2048, 29 * 1024])
+def test_dense_layout_matches_optax(block_size, n):
+    """The DENSE layout (codes = the grad's own (N/128, 128) bitcast view,
+    scales (128/bs, N/128) j-interleaved) is bitwise-equal to the
+    transposed/jnp paths: block membership is the same flat blocking, the
+    roll-tree absmax is an exact max, and the one-hot MXU pick/expand are
+    exact f32 selections."""
+    from stable_diffusion_training_tpu.ops.lion_kernel import (
+        _quantize,
+        dense_layout_ok,
+        fused_lion8bit_update_dense,
+    )
+    from stable_diffusion_training_tpu.optim.lion8bit import (
+        _scales_dense_to_flat,
+        _scales_flat_to_dense,
+    )
+
+    assert dense_layout_ok(n, block_size)
+    rng = np.random.RandomState(0)
+    g = jnp.asarray(rng.randn(n).astype(np.float32) * 1e-3)
+    mu = jnp.asarray(rng.randn(n).astype(np.float32) * 1e-4)
+    blocks = mu.reshape(-1, block_size)
+    absmax = jnp.max(jnp.abs(blocks), axis=-1, keepdims=True)
+    scales = 1 / jnp.where(absmax <= 0, 1.0, absmax)
+    codes = _quantize(blocks * scales)
+
+    ref_upd, ref_codes, ref_scales = _reference_leaf_update(
+        g, codes, scales, 0.9, 0.99, block_size
+    )
+
+    gpr = 128 // block_size
+    x = n // 128
+    codes_d = codes.reshape(-1, 128)
+    # r=8 forces a multi-tile grid even at these test sizes
+    scales_d = _scales_flat_to_dense(scales.reshape(-1), x, gpr, r=8)
+    out_upd, out_codes, out_scales = fused_lion8bit_update_dense(
+        g, codes_d, scales_d, b1=0.9, b2=0.99, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(out_upd), np.asarray(ref_upd))
+    np.testing.assert_array_equal(
+        np.asarray(out_codes.reshape(-1, block_size)), np.asarray(ref_codes)
+    )
+    np.testing.assert_allclose(
+        np.asarray(_scales_dense_to_flat(out_scales, x)).reshape(-1, 1),
+        np.asarray(ref_scales),
+        rtol=1e-6,
+    )
+
+
+def test_transform_dense_leaf_pallas_matches_jnp():
+    """End-to-end transform with a dense-eligible leaf (size % 1024 == 0):
+    init must produce the dense layout and both paths must agree bitwise."""
+    from stable_diffusion_training_tpu.optim.lion8bit import (
+        momentum_to_reference_layout,
+    )
+
+    rng = np.random.RandomState(2)
+    params = {
+        "dense": jnp.asarray(rng.randn(32, 64).astype(np.float32)),  # 2048
+        "odd": jnp.asarray(rng.randn(10, 16).astype(np.float32)),    # 160
+    }
+    g = jax.tree.map(
+        lambda x: jnp.asarray(rng.randn(*x.shape).astype(np.float32) * 1e-3),
+        params,
+    )
+    tx_j = scale_by_lion_8bit(
+        block_size=16, excluded_layer_mask=True, use_pallas=False
+    )
+    tx_p = scale_by_lion_8bit(
+        block_size=16, excluded_layer_mask=True, use_pallas=True
+    )
+    s_j = tx_j.init(params)
+    s_p = tx_p.init(params)
+    # dense-eligible leaf gets the dense storage; the other stays transposed
+    assert s_j.mu_quant["dense"][0].shape == (16, 128)
+    assert s_j.mu_quant["dense"][1].shape == (8, 16)
+    assert s_j.mu_quant["odd"][0].shape == (16, 10)
+    for _ in range(3):
+        u_j, s_j = tx_j.update(g, s_j)
+        u_p, s_p = tx_p.update(g, s_p)
+    for a, b in zip(jax.tree.leaves(u_j), jax.tree.leaves(u_p)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for k in params:
+        cj, sj = momentum_to_reference_layout(s_j.mu_quant[k])
+        cp, sp = momentum_to_reference_layout(s_p.mu_quant[k])
+        np.testing.assert_array_equal(np.asarray(cj), np.asarray(cp))
+        np.testing.assert_allclose(np.asarray(sj), np.asarray(sp), rtol=1e-6)
+
+
+def test_dense_zero_block_guard():
+    """All-zero blocks through the dense kernel engage the scale-1 guard."""
+    from stable_diffusion_training_tpu.ops.lion_kernel import (
+        fused_lion8bit_update_dense,
+    )
+
+    n = 2048
+    g = jnp.zeros((n,), jnp.float32)
+    codes_d = jnp.full((n // 128, 128), 3, jnp.int8)  # quantized zero
+    scales_d = jnp.ones((8 * 2, 8), jnp.float32)  # tile-grouped, r=8
+    upd, new_codes, new_scales = fused_lion8bit_update_dense(
+        g, codes_d, scales_d, interpret=True
+    )
+    assert bool(jnp.isfinite(new_scales).all())
+    assert bool(jnp.isfinite(upd).all())
+    # matches the transposed layout bit-for-bit on the same state
+    nb = n // 16
+    upd_t, _, _ = fused_lion8bit_update_transposed(
+        g, jnp.full((16, nb), 3, jnp.int8), jnp.ones((1, nb), jnp.float32),
+        interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(upd), np.asarray(upd_t))

@@ -39,13 +39,16 @@ def ref_sched():
 
 
 def _untranspose_mu(tree):
-    """Map OUR block-transposed momentum layout (codes (bs, nb), scales
-    (1, nb)) back to the reference's (nb, bs)/(nb, 1) frame so the bitwise
-    comparison stays value-for-value. Non-quantized leaves pass through."""
+    """Map OUR momentum storage (dense or block-transposed layout) back to
+    the reference's (nb, bs)/(nb, 1) frame so the bitwise comparison stays
+    value-for-value. Non-quantized leaves pass through."""
+    from stable_diffusion_training_tpu.optim.lion8bit import (
+        momentum_to_reference_layout,
+    )
+
     def fix(node):
         if isinstance(node, tuple) and len(node) == 2:
-            codes, scales = node
-            return (jnp.transpose(codes), jnp.transpose(scales))
+            return momentum_to_reference_layout(node)
         return node
 
     return jax.tree_util.tree_map(
