@@ -22,9 +22,11 @@ Also reported:
   chip peak (BASELINE.md north star is >=95% MXU utilization on the UNet);
 - ``ref_style_*``: the reference-style leg's numbers.
 
-Env overrides: BENCH_BATCH (default 15 — the best measured operating point
-on v5e: 15.45 img/s/chip MFU 28.8%, vs 14.88/27.3% at 14, 13.61/24.0% at
-12; batch 16 still OOMs 16G HBM), BENCH_RES (default 512),
+Env overrides: BENCH_BATCH (default 16 — the best measured operating point
+on v5e with the dense-Lion stack: 24.09 img/s/chip MFU 40.9%, vs
+24.00/40.7% at 15 and 22.58/39.7% at 20, PERF_NOTES round 3; the round-2
+stack OOMed at 16 — the query-chunked cross-attention remat is what made
+batch >= 16 compile), BENCH_RES (default 512),
 BENCH_STEPS (default 10), BENCH_FAMILY (default sd15), BENCH_SKIP_REF=1
 (skip the reference-style leg; vs_baseline then falls back to the recorded
 round-1 anchor), BENCH_BASELINE (override that anchor),
@@ -372,7 +374,7 @@ def run_extra_leg(name, steps):
 
 
 def main():
-    batch = int(os.environ.get("BENCH_BATCH", "15"))
+    batch = int(os.environ.get("BENCH_BATCH", "16"))
     res = int(os.environ.get("BENCH_RES", "512"))
     steps = int(os.environ.get("BENCH_STEPS", "10"))
     family = os.environ.get("BENCH_FAMILY", "sd15")
