@@ -357,3 +357,26 @@ def lion_8bit(
         optax.add_decayed_weights(weight_decay, mask),
         optax.scale_by_learning_rate(learning_rate),
     )
+
+
+def momentum_to_canonical_layout(node):
+    """Re-layout a quantized momentum leaf (codes, scales) from any storage
+    layout to the CURRENT canonical one (dense where eligible, else
+    transposed). Values are preserved exactly — this is a pure relayout,
+    used to migrate full-state checkpoints written by older layouts."""
+    codes, scales = node
+    if _is_dense(codes, scales):
+        return node  # dense is already canonical where it appears
+    bs, nb = codes.shape
+    size = bs * nb
+    if not _dense_ok(size, bs):
+        return node  # transposed is canonical for this leaf
+    gpr = 128 // bs
+    codes_flat = jnp.transpose(codes).reshape(-1)   # flat element order
+    scales_flat = scales.reshape(-1)                # flat block order
+    return (
+        codes_flat.reshape(-1, 128),
+        _scales_flat_to_dense(scales_flat, size // 128, gpr).astype(
+            scales.dtype
+        ),
+    )

@@ -161,12 +161,42 @@ def save_train_state(
 
 def restore_train_state(directory: str, template: Dict[str, Any]) -> Dict[str, Any]:
     """Restore a full-state checkpoint onto a matching state template
-    (shapes/shardings from a freshly-built state)."""
+    (shapes/shardings from a freshly-built state).
+
+    Checkpoints written before the dense momentum layout (codes stored
+    block-TRANSPOSED, see ``optim.lion8bit``) restore through a legacy
+    template and are migrated in place — a pure relayout, values exact."""
     directory = os.path.abspath(directory)
-    import orbax.checkpoint as ocp
+    from ..optim.lion8bit import momentum_to_canonical_layout
 
     restored = _checkpointer().restore(
         directory, item=jax.tree_util.tree_map(lambda x: x, template)
     )
-    del ocp
-    return restored
+
+    def _is_mu(node):
+        return isinstance(node, tuple) and len(node) == 2
+
+    def _migrate(node, like):
+        # orbax returns the STORED shapes silently when they differ from
+        # the template's; a legacy-layout momentum leaf shows up here with
+        # mismatched shapes and is relayouted in place (values exact)
+        if not (_is_mu(node) and _is_mu(like)):
+            return node
+        if all(n.shape == t.shape for n, t in zip(node, like)):
+            return node
+        canonical = momentum_to_canonical_layout(node)
+        if any(c.shape != t.shape for c, t in zip(canonical, like)):
+            raise ValueError(
+                "checkpoint momentum leaf has shapes "
+                f"{[tuple(n.shape) for n in node]} which neither match the "
+                f"state template {[tuple(t.shape) for t in like]} nor "
+                "migrate to it via the canonical relayout"
+            )
+        return tuple(
+            jax.device_put(jnp.asarray(c), t.sharding)
+            if hasattr(t, "sharding")
+            else jnp.asarray(c)
+            for c, t in zip(canonical, like)
+        )
+
+    return jax.tree_util.tree_map(_migrate, restored, template, is_leaf=_is_mu)
