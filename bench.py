@@ -45,6 +45,19 @@ import numpy as np
 # fallback anchor when the reference-style leg is skipped.
 RECORDED_BASELINE = float(os.environ.get("BENCH_BASELINE", "0")) or 11.2
 
+# BASELINE.md configs 3-5 measured on this rig (v5e via axon, 2026-08-17,
+# round-3 dense-Lion stack, BENCH_CONFIGS=3,4,5 runs — PERF_NOTES.md).
+# Attached to the headline record so the one-line bench artifact carries
+# them; a live BENCH_CONFIGS run prints fresh lines that supersede these.
+RECORDED_CONFIG_LEGS = {
+    "3_sd21_768": {"images_per_sec_per_chip": 6.94, "batch_size": 6,
+                   "mfu": 0.269},
+    "4_sdxl_1024_gradckpt_cached": {"images_per_sec_per_chip": 3.01,
+                                    "batch_size": 4, "mfu": 0.416},
+    "5_sdxl_1024_cached": {"images_per_sec_per_chip": 2.92,
+                           "batch_size": 2, "mfu": 0.321},
+}
+
 # bf16 peak TFLOP/s per chip by device kind substring
 _PEAK_TFLOPS = (
     ("v6", 918.0),  # Trillium
@@ -451,6 +464,8 @@ def main():
         record["ref_style_p50_step_time_s"] = ref["p50_step_time_s"]
         record["ref_style_mfu"] = ref["mfu"]
         record["ref_style_batch_size"] = ref_batch
+    if RECORDED_CONFIG_LEGS and not os.environ.get("BENCH_CONFIGS"):
+        record["recorded_config_legs"] = RECORDED_CONFIG_LEGS
     print(json.dumps(record))
 
     # BENCH_CONFIGS="3,4,5" (or "all") appends one JSON line per extra
