@@ -61,6 +61,7 @@ def categorize(name: str) -> str:
 def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 15
     res = int(sys.argv[2]) if len(sys.argv) > 2 else 512
+    family = sys.argv[3] if len(sys.argv) > 3 else "sd15"
 
     import jax
     from jax.sharding import NamedSharding, PartitionSpec
@@ -75,11 +76,11 @@ def main():
     )
     from stable_diffusion_training_tpu.utils import xplane
 
-    cfg = bench._build_config("sd15", batch, res, reference_style=False)
+    cfg = bench._build_config(family, batch, res, reference_style=False)
     (unet_state, te_state, _, _, frozen_vae, frozen_sched, _) = (
         on_device_model_training_state(cfg)
     )
-    vocab = model_configs.MODEL_FAMILIES["sd15"]["text_encoder"]["vocab_size"]
+    vocab = model_configs.MODEL_FAMILIES[family]["text_encoder"]["vocab_size"]
     b = synthetic_batch(batch, (res, res), concat_count=3, seed=0, vocab_size=vocab)
     mesh = mesh_lib.get_default_mesh()
     b = jax.tree_util.tree_map(
@@ -142,7 +143,7 @@ def main():
             cats[c] = (t + ps, cnt + n)
         grand = sum(t for t, _ in cats.values()) / 1e9 / STEPS
         print(f"\n[{label}] total {grand:.1f} ms/step "
-              f"(wall {wall_ms:.1f} ms/step), batch {batch} @ {res}px:")
+              f"(wall {wall_ms:.1f} ms/step), {family} batch {batch} @ {res}px:")
         for c, (ps, n) in sorted(cats.items(), key=lambda kv: -kv[1][0]):
             ms = ps / 1e9 / STEPS
             print(f"  {ms:8.1f} ms/step  {100*ms/max(grand,1e-9):5.1f}%  "
