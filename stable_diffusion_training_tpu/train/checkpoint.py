@@ -174,7 +174,15 @@ def restore_train_state(directory: str, template: Dict[str, Any]) -> Dict[str, A
     )
 
     def _is_mu(node):
-        return isinstance(node, tuple) and len(node) == 2
+        # quantized momentum specifically: (int8 codes, float scales) —
+        # a bare len-2 check would also catch optax sub-state tuples
+        # (e.g. (SomeState, EmptyState)) whose members have no .shape
+        return (
+            isinstance(node, tuple)
+            and len(node) == 2
+            and all(hasattr(x, "shape") and hasattr(x, "dtype") for x in node)
+            and np.dtype(node[0].dtype) == np.int8
+        )
 
     def _migrate(node, like):
         # orbax returns the STORED shapes silently when they differ from

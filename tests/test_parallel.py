@@ -15,6 +15,23 @@ from stable_diffusion_training_tpu.parallel import (
 from stable_diffusion_training_tpu.parallel.sharding import train_state_tp_sharding
 
 
+@pytest.fixture(autouse=True)
+def _reset_attention_mesh():
+    """The module-level attention mesh is process-global state; tests that
+    build TP training states (on_device_model_training_state registers the
+    mesh) must not leak it into tests that rely on the no-mesh GSPMD
+    control path."""
+    import importlib
+
+    # ops.__init__ re-exports an `attention` FUNCTION that shadows the
+    # submodule under `from ... import attention`
+    attn_mod = importlib.import_module(
+        "stable_diffusion_training_tpu.ops.attention"
+    )
+    yield
+    attn_mod.set_attention_mesh(None)
+
+
 @pytest.fixture(scope="module")
 def tp_mesh(cpu_devices):
     return mesh_lib.create_mesh(
