@@ -215,11 +215,12 @@ def dp_compile_all_unique_resolution(
                 vae_sh,
                 sched_sh,
             ),
-            # args 8..15 = (strip_bos_eos_token, offset_noise_magnitude,
+            # args 8..16 = (strip_bos_eos_token, offset_noise_magnitude,
             # min_snr_gamma_magnitude, perturbation_noise_magnitude, ema_rate,
-            # text_context_window, grad_accumulation_steps, train_text_encoder)
+            # text_context_window, grad_accumulation_steps,
+            # train_text_encoder, vae_encode_chunk)
             # — positional because pjit with in_shardings rejects kwargs
-            static_argnums=(8, 9, 10, 11, 12, 13, 14, 15),
+            static_argnums=(8, 9, 10, 11, 12, 13, 14, 15, 16),
             out_shardings=(
                 unet_sh,
                 text_sh,
@@ -248,6 +249,7 @@ def dp_compile_all_unique_resolution(
                 training_config.text_encoder_context_window,
                 training_config.grad_accumulation_steps,
                 training_config.train_text_encoder,
+                training_config.vae_encode_chunk,
             )
         del batch
         gc.collect()

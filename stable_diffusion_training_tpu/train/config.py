@@ -83,6 +83,10 @@ class TrainingConfig:
     seed_init: int = 0  # rng for fresh-family init
     grad_accumulation_steps: int = 1  # micro-batch accumulation (1 = off)
     use_latent_cache: bool = False  # batches carry latent_moments, VAE skipped
+    # VAE encode micro-batch size (0 = whole batch). Per-sample (1) flips
+    # XLA away from f32 spatially-partitioned convs at >=768² — 2.2x faster
+    # encode, bitwise-identical moments (train_step docstring, PERF_NOTES)
+    vae_encode_chunk: int = 0
     cached_text_context: bool = False  # batches carry encoder_hidden_states
     # (precomputed frozen-tower context, data.latent_cache); pair with
     # train_text_encoder=False

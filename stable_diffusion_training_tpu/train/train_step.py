@@ -55,6 +55,7 @@ def train_step(
     text_context_window: int = 77,
     grad_accumulation_steps: int = 1,
     train_text_encoder: bool = True,
+    vae_encode_chunk: int = 0,
 ):
     """One optimization step. Returns
     ``(unet_state, text_encoder_state, unet_ema, text_ema, {"loss"}, next_rng)``
@@ -71,6 +72,18 @@ def train_step(
     If the batch carries precomputed VAE ``latent_moments`` (NCHW, 2*latent
     channels; see ``data.latent_cache``) the VAE encode is skipped — the
     offline-latent-cache fast path.
+
+    ``vae_encode_chunk=n`` runs the frozen VAE encode via ``lax.map`` over
+    micro-batches of n samples instead of one whole-batch call. The encode
+    is per-sample independent (convs + per-sample GroupNorm), so the math
+    is identical — bitwise on CPU (tests/test_train.py); on TPU the convs'
+    internal accumulation order differs between batch tilings, so the low
+    bits can move exactly as they do between any two XLA recompiles. It is
+    an XLA-strategy lever: at 768² the whole-batch encode triggers f32
+    spatially-partitioned convolutions with ~1.8 GB halo copies, while
+    per-sample (n=1) keeps the fused bf16 pipeline — measured 2.2x faster
+    VAE encode, +19%% end-to-end on BASELINE config 3 (PERF_NOTES round 3).
+    0 = whole batch (default, reference behavior).
     """
     dropout_rng, sample_rng, new_train_rng = jax.random.split(train_rng, num=3)
 
@@ -115,13 +128,41 @@ def train_step(
             latent_dist = DiagonalGaussianDistribution(moments_nhwc, axis=-1)
         else:
             pixels_nhwc = jnp.transpose(batch["pixel_values"], (0, 2, 3, 1))
-            vae_outputs = frozen_vae_state.call.apply(
-                {"params": vae_params},
-                pixels_nhwc,
-                deterministic=True,
-                method="encode",
-            )
-            latent_dist = vae_outputs.latent_dist
+            if vae_encode_chunk:
+                from ..models.vae import DiagonalGaussianDistribution
+
+                bsz, hh, ww, cc = pixels_nhwc.shape
+                n = vae_encode_chunk
+                if bsz % n:
+                    raise ValueError(
+                        f"vae_encode_chunk={n} must divide batch size {bsz}"
+                    )
+
+                def _encode_moments(px):
+                    d = frozen_vae_state.call.apply(
+                        {"params": vae_params},
+                        px,
+                        deterministic=True,
+                        method="encode",
+                    ).latent_dist
+                    # logvar was already clipped in the dist constructor;
+                    # re-constructing from the concat re-clips (idempotent)
+                    return jnp.concatenate([d.mean, d.logvar], axis=-1)
+
+                moments = jax.lax.map(
+                    _encode_moments, pixels_nhwc.reshape(bsz // n, n, hh, ww, cc)
+                )
+                latent_dist = DiagonalGaussianDistribution(
+                    moments.reshape((bsz,) + moments.shape[2:]), axis=-1
+                )
+            else:
+                vae_outputs = frozen_vae_state.call.apply(
+                    {"params": vae_params},
+                    pixels_nhwc,
+                    deterministic=True,
+                    method="encode",
+                )
+                latent_dist = vae_outputs.latent_dist
         # NHWC latent sample — same rng/shape as the reference's pre-transpose
         # sample (training_utils.py:582), so values match bit-for-bit
         latents = latent_dist.sample(sample_rng)

@@ -409,3 +409,41 @@ class TestLRSchedules:
         d_honored = step_delta(True)
         # reference path: lr 1e-6/7; honored: 1e-4/7 -> 100x bigger sign step
         assert d_honored == pytest.approx(d_ref * 100, rel=1e-3)
+
+
+def test_vae_encode_chunk_bitwise_identical():
+    """vae_encode_chunk runs the frozen VAE per-sample via lax.map — an
+    XLA-strategy lever only; the moments, loss, and updated params must be
+    bitwise-identical to the whole-batch encode."""
+    import jax
+
+    from stable_diffusion_training_tpu.data.memory import synthetic_batch
+    from stable_diffusion_training_tpu.train import (
+        on_device_model_training_state,
+        train_step,
+    )
+
+    cfg = make_config(batch_size=2)
+    (unet_state, te_state, _, _, frozen_vae, frozen_sched, _) = (
+        on_device_model_training_state(cfg)
+    )
+    b = synthetic_batch(2, (64, 64), concat_count=1, seed=0, vocab_size=1000)
+    b = {k: jnp.asarray(v) for k, v in b.items()}
+    static = dict(
+        strip_bos_eos_token=True, offset_noise_magnitude=0.0,
+        min_snr_gamma_magnitude=0.0, perturbation_noise_magnitude=0.0,
+        ema_rate=0.0,
+    )
+    rng = jax.random.PRNGKey(0)
+    outs = []
+    for chunk in (0, 1):
+        out = jax.jit(
+            train_step,
+            static_argnames=tuple(static) + ("vae_encode_chunk",),
+        )(unet_state, te_state, None, None, b, rng, frozen_vae,
+          frozen_sched, vae_encode_chunk=chunk, **static)
+        outs.append(out)
+    assert float(outs[0][4]["loss"]) == float(outs[1][4]["loss"])
+    for a, c in zip(jax.tree_util.tree_leaves(outs[0][0].params),
+                    jax.tree_util.tree_leaves(outs[1][0].params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
