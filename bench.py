@@ -30,7 +30,11 @@ batch >= 16 compile), BENCH_RES (default 512),
 BENCH_STEPS (default 10), BENCH_FAMILY (default sd15), BENCH_SKIP_REF=1
 (skip the reference-style leg; vs_baseline then falls back to the recorded
 round-1 anchor), BENCH_BASELINE (override that anchor),
-BENCH_PEAK_TFLOPS (chip peak override, bf16 TFLOP/s).
+BENCH_PEAK_TFLOPS (chip peak override, bf16 TFLOP/s), BENCH_SKIP_PEAK=1
+(skip the measured-achievable probe), BENCH_CONFIGS="3,4,5"|"all" (run the
+BASELINE config legs live and print one JSON line each; otherwise the
+recorded values ride along in the headline record), BENCH_GRAD_CKPT=1 /
+BENCH_FF_REMAT=1 (remat variants), BENCH_ATTN (attention backend override).
 """
 
 import json
