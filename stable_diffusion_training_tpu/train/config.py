@@ -115,6 +115,12 @@ class TrainingConfig:
                 "(the precomputed context bypasses the text encoder; "
                 "training it would only apply weight decay to unused params)"
             )
+        if self.vae_encode_chunk and self.batch_size % self.vae_encode_chunk:
+            raise ValueError(
+                f"vae_encode_chunk={self.vae_encode_chunk} must divide "
+                f"batch_size={self.batch_size} (the encode is lax.map'd "
+                "over whole micro-batches)"
+            )
 
     def replace(self, **kwargs) -> "TrainingConfig":
         return dataclasses.replace(self, **kwargs)
