@@ -23,18 +23,42 @@ import numpy as np
 from ..utils.context import concat_context_windows
 
 
-def encode_batch_to_moments(vae, vae_params, pixel_values_nchw) -> np.ndarray:
-    """Run the VAE encoder on an NCHW pixel batch; returns NCHW moments."""
+def encode_batch_to_moments(
+    vae, vae_params, pixel_values_nchw, chunk: int = 0
+) -> np.ndarray:
+    """Run the VAE encoder on an NCHW pixel batch; returns NCHW moments.
+
+    ``chunk=n`` lax.map's the encode in micro-batches of n — the same
+    XLA-strategy lever as ``train_step``'s ``vae_encode_chunk`` (at >=768²
+    whole-batch encodes trigger f32 spatially-partitioned convolutions,
+    2.2x slower than per-sample; PERF_NOTES round 3). Default 0 resolves
+    to per-sample when the spatial size is >= 768, else whole-batch."""
     nhwc = getattr(vae, "data_format", "NCHW") == "NHWC"
+    if chunk == 0:
+        chunk = 1 if max(pixel_values_nchw.shape[-2:]) >= 768 else None
 
     @jax.jit
     def _encode(px):
         x = jnp.transpose(px, (0, 2, 3, 1)) if nhwc else px
-        out = vae.apply({"params": vae_params}, x, deterministic=True,
-                        method="encode")
-        dist = out.latent_dist
-        axis = -1 if nhwc else 1
-        moments = jnp.concatenate([dist.mean, dist.logvar], axis=axis)
+
+        def _one(xi):
+            out = vae.apply({"params": vae_params}, xi, deterministic=True,
+                            method="encode")
+            dist = out.latent_dist
+            axis = -1 if nhwc else 1
+            return jnp.concatenate([dist.mean, dist.logvar], axis=axis)
+
+        if chunk:
+            bsz = x.shape[0]
+            if bsz % chunk:
+                moments = _one(x)
+            else:
+                m = jax.lax.map(
+                    _one, x.reshape((bsz // chunk, chunk) + x.shape[1:])
+                )
+                moments = m.reshape((bsz,) + m.shape[2:])
+        else:
+            moments = _one(x)
         if nhwc:
             moments = jnp.transpose(moments, (0, 3, 1, 2))
         return moments

@@ -275,3 +275,24 @@ def test_dual_tower_separate_ids_for_tower_2():
     )
     np.testing.assert_array_equal(shared[..., :32], separate[..., :32])
     assert not np.allclose(shared[..., 32:], separate[..., 32:])
+
+
+def test_encode_chunked_matches_whole_batch():
+    """chunk=1 lax.map precompute == whole-batch encode (bitwise on CPU)."""
+    import numpy as np
+
+    from stable_diffusion_training_tpu.data.latent_cache import (
+        encode_batch_to_moments,
+    )
+    from stable_diffusion_training_tpu.models import AutoencoderKL, configs
+
+    vae = AutoencoderKL(
+        **configs.MODEL_FAMILIES["tiny"]["vae"], data_format="NHWC"
+    )
+    import jax
+
+    params = vae.init(jax.random.PRNGKey(0))
+    px = np.random.RandomState(0).randn(2, 3, 64, 64).astype(np.float32)
+    whole = encode_batch_to_moments(vae, params, px, chunk=None)
+    per = encode_batch_to_moments(vae, params, px, chunk=1)
+    np.testing.assert_array_equal(whole, per)
