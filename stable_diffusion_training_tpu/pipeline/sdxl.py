@@ -260,14 +260,22 @@ class StableDiffusionXLPipeline(StableDiffusionPipeline):
         decode_in = latents
         if self._model_nhwc():
             decode_in = jnp.transpose(decode_in, (0, 2, 3, 1))
-            image = self.vae.decode(
-                decode_in.astype(self.dtype), {"params": params["vae"]}
-            ).sample.astype(jnp.float32)
-        else:
-            image = self.vae.decode(
-                decode_in.astype(self.dtype), {"params": params["vae"]}
+
+        def _decode(z):
+            return self.vae.decode(
+                z.astype(self.dtype), {"params": params["vae"]}
             ).sample
-            image = jnp.transpose(image.astype(jnp.float32), (0, 2, 3, 1))
+
+        # SDXL output is >=1024²: whole-batch decode triggers XLA's f32
+        # spatially-partitioned convolutions (see stable_diffusion.py /
+        # PERF_NOTES round 3); decode per-sample instead
+        if decode_in.shape[0] > 1:
+            image = jax.lax.map(lambda z: _decode(z[None])[0], decode_in)
+        else:
+            image = _decode(decode_in)
+        image = image.astype(jnp.float32)
+        if not self._model_nhwc():
+            image = jnp.transpose(image, (0, 2, 3, 1))
         return (image / 2 + 0.5).clip(0, 1)
 
     def _unet_call_sdxl(self, params, latents_nchw, t, context, added_cond):

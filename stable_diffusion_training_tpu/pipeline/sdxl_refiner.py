@@ -332,9 +332,20 @@ class StableDiffusionXLImg2ImgPipeline(StableDiffusionXLPipeline):
         decode_in = latents
         if self._model_nhwc():
             decode_in = jnp.transpose(decode_in, (0, 2, 3, 1))
-        image_out = self.vae.decode(
-            decode_in.astype(self.dtype), {"params": params["vae"]}
-        ).sample.astype(jnp.float32)
+
+        def _decode(z):
+            return self.vae.decode(
+                z.astype(self.dtype), {"params": params["vae"]}
+            ).sample
+
+        # refiner output is >=1024²: decode per-sample (see sdxl.py note)
+        if decode_in.shape[0] > 1:
+            image_out = jax.lax.map(
+                lambda z: _decode(z[None])[0], decode_in
+            )
+        else:
+            image_out = _decode(decode_in)
+        image_out = image_out.astype(jnp.float32)
         if not self._model_nhwc():
             image_out = jnp.transpose(image_out, (0, 2, 3, 1))
         return (image_out / 2 + 0.5).clip(0, 1)

@@ -222,19 +222,28 @@ class StableDiffusionPipeline:
                 0, num_inference_steps, loop_body, (latents, scheduler_state)
             )
 
-        # decode: 1/scaling_factor, VAE, [0,1] NHWC
+        # decode: 1/scaling_factor, VAE, [0,1] NHWC. At >=768² output the
+        # decode runs per-sample via lax.map — the same XLA-strategy lever
+        # as training's vae_encode_chunk (whole-batch at that size triggers
+        # f32 spatially-partitioned convolutions; PERF_NOTES round 3).
         latents = latents / self.vae.config.scaling_factor
         decode_in = latents
+
+        def _decode(z):
+            return self.vae.decode(
+                z.astype(self.dtype), {"params": params["vae"]}
+            ).sample
+
+        per_sample = max(height, width) >= 768 and decode_in.shape[0] > 1
         if self._model_nhwc():
             decode_in = jnp.transpose(decode_in, (0, 2, 3, 1))
-            image = self.vae.decode(
-                decode_in.astype(self.dtype), {"params": params["vae"]}
-            ).sample
+        if per_sample:
+            image = jax.lax.map(lambda z: _decode(z[None])[0], decode_in)
+        else:
+            image = _decode(decode_in)
+        if self._model_nhwc():
             image = image.astype(jnp.float32)
         else:
-            image = self.vae.decode(
-                decode_in.astype(self.dtype), {"params": params["vae"]}
-            ).sample
             image = jnp.transpose(image.astype(jnp.float32), (0, 2, 3, 1))
         image = (image / 2 + 0.5).clip(0, 1)
         return image
