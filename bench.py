@@ -118,6 +118,30 @@ def _measured_peak_flops(dim: int = 4096, chained: int = 48) -> float:
     return 2.0 * dim * dim * dim * chained / best
 
 
+def _measured_hbm_bandwidth(mb: int = 256, iters: int = 8) -> float:
+    """Achievable HBM bandwidth (GB/s) via a big bf16 copy+scale (read n +
+    write n). On this shared rig it lands far below the 819 GB/s v5e spec
+    (PERF_NOTES "rig roofline") — reported so the artifact carries the
+    bandwidth ceiling the step's norm/optimizer categories are pinned to."""
+    import jax.numpy as jnp
+
+    n = mb * 1024 * 1024 // 2
+    x = jnp.ones((n,), jnp.bfloat16)
+
+    @jax.jit
+    def f(a):
+        return a * jnp.bfloat16(1.0001)
+
+    y = f(x)
+    _ = float(jnp.sum(y.astype(jnp.float32)))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        y = f(y)
+    _ = float(jnp.sum(y.astype(jnp.float32)))
+    dt = (time.perf_counter() - t0) / iters
+    return 2 * n * 2 / dt / 1e9
+
+
 def _build_config(
     family, batch, res, reference_style,
     cached=False, frozen_te=False, grad_ckpt=None,
@@ -484,6 +508,7 @@ def main():
                     / (opt["p50_step_time_s"] * measured * opt["n_chips"]),
                     4,
                 )
+            record["measured_hbm_gbps"] = round(_measured_hbm_bandwidth(), 1)
         except Exception:
             pass
     if ref:
