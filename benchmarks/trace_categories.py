@@ -7,6 +7,11 @@ fusions, other) so PERF_NOTES.md can track where the step goes after
 each optimization. Also prints the "Async XLA Ops" occupancy totals
 separately — those overlap compute and are NOT serialized time.
 
+Caveat: a ``while`` op's self time (e.g. a lax.map'd VAE encode) INCLUDES
+its body, whose ops are also counted individually — so the serialized
+total can exceed wall time when loops are present; compare category
+deltas, not the grand total, on loopy programs.
+
 Usage (on the TPU):  python benchmarks/trace_categories.py [batch] [res]
 """
 
@@ -95,6 +100,8 @@ def main():
         min_snr_gamma_magnitude=0.0,
         perturbation_noise_magnitude=0.0,
         ema_rate=0.0,
+        # mirror bench.py: per-sample VAE encode at >=768 streaming legs
+        vae_encode_chunk=1 if res >= 768 else 0,
     )
     step = jax.jit(train_step, donate_argnums=(0, 1, 2, 3),
                    static_argnames=tuple(static))
