@@ -375,6 +375,31 @@ def run_leg(
         samples.append((time.perf_counter() - t0) / group)
 
     p50 = float(np.median(samples))
+
+    if os.environ.get("BENCH_TRACE"):
+        # trace 3 steady-state steps of THIS leg and print the per-category
+        # serialized-time table (utils.xplane) to stderr — works for every
+        # leg run_leg can build, including cached-latent SDXL recipes
+        import glob
+        import sys as _sys
+        import tempfile
+
+        from stable_diffusion_training_tpu.utils import xplane
+
+        trace_dir = tempfile.mkdtemp(prefix="sdt_bench_trace_")
+        with jax.profiler.trace(trace_dir):
+            for _ in range(3):
+                out = run_one(unet_state, te_state, rng)
+                unet_state, te_state, rng = out[0], out[1], out[5]
+            _ = float(out[4]["loss"])
+        paths = glob.glob(
+            os.path.join(trace_dir, "**", "*.xplane.pb"), recursive=True
+        )
+        if paths:
+            print(f"# trace of {family} b{batch} @{res}:\n"
+                  + xplane.category_report(paths[0], 3, wall_ms=p50 * 1e3),
+                  file=_sys.stderr, flush=True)
+
     n_chips = jax.device_count()
     peak = _chip_peak_flops()
     mfu = None

@@ -1,66 +1,29 @@
 """Category breakdown of the fused train step from an xprof trace.
 
-Buckets per-op self time (device plane, exact "XLA Ops" line — see
-``utils.xplane.op_durations``) into coarse categories (optimizer
-custom-calls, flash-attention custom-calls, convolutions, copies,
-fusions, other) so PERF_NOTES.md can track where the step goes after
-each optimization. Also prints the "Async XLA Ops" occupancy totals
-separately — those overlap compute and are NOT serialized time.
+Thin driver around ``utils.xplane.category_report`` (per-op self time from
+the device plane's exact "XLA Ops" line, bucketed into optimizer / flash /
+conv / fusion / copy categories with per-family drill-down, plus the
+"Async XLA Ops" occupancy totals, which overlap compute and are NOT
+serialized time). For cached-latent SDXL-recipe legs use bench.py's
+``BENCH_TRACE=1`` hook instead — it traces whatever leg run_leg builds.
 
 Caveat: a ``while`` op's self time (e.g. a lax.map'd VAE encode) INCLUDES
 its body, whose ops are also counted individually — so the serialized
 total can exceed wall time when loops are present; compare category
 deltas, not the grand total, on loopy programs.
 
-Usage (on the TPU):  python benchmarks/trace_categories.py [batch] [res]
+Usage (on the TPU):  python benchmarks/trace_categories.py [batch] [res] [family]
 """
 
 import glob
 import os
-import re
 import sys
 import tempfile
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 STEPS = 3
-
-
-_OPCODE_RE = re.compile(r" = (?:\([^=]*?\) )?([a-z][a-z0-9-]*)\(")
-
-
-def opcode_of(name: str) -> str:
-    """Extract the HLO opcode from '%id = [tuple-shape ]opcode(operands)'."""
-    m = _OPCODE_RE.search(name)
-    return m.group(1) if m else "?"
-
-
-def family_of(name: str) -> str:
-    """Op-name family: the id with trailing .N / digits stripped."""
-    opid = name.split(" = ", 1)[0].lstrip("%")
-    return re.sub(r"[.\d]+$", "", opid)
-
-
-def categorize(name: str) -> str:
-    """Bucket a full HLO instruction string into a coarse category."""
-    opid = name.split(" = ", 1)[0].lstrip("%")
-    op = opcode_of(name)
-    if op in ("copy", "copy-start", "copy-done", "transpose", "bitcast"):
-        return "copy/relayout"
-    if op == "custom-call":
-        if "lion" in name.lower() or "s8[" in name:
-            return "lion custom-call"
-        if "attn" in opid or "flash" in name.lower():
-            return "flash custom-call"
-        return "other custom-call"
-    if op == "convolution" or opid.startswith("convolution"):
-        return "convolution"
-    if op == "fusion":
-        return "fusion"
-    if op in ("all-reduce", "all-gather", "reduce-scatter",
-              "collective-permute", "all-to-all"):
-        return "collective"
-    return "other"
 
 
 def main():
@@ -112,7 +75,6 @@ def main():
         unet_state, te_state, rng = out[0], out[1], out[5]
         _ = float(out[4]["loss"])
 
-    import time
     t0 = time.perf_counter()
     for _ in range(STEPS):
         out = step(unet_state, te_state, None, None, b, rng,
@@ -134,45 +96,8 @@ def main():
     if not paths:
         print(f"no xplane.pb under {trace_dir}")
         return
-    with open(paths[0], "rb") as f:
-        data = f.read()
-
-    for line_name, label in (("XLA Ops", "serialized (XLA Ops line)"),
-                             ("Async XLA Ops", "async occupancy (overlaps)")):
-        totals = xplane.op_durations(data, "/device:TPU", line_name)
-        if not totals:
-            print(f"[{label}] no events")
-            continue
-        cats = {}
-        for name, (ps, n) in totals.items():
-            c = categorize(name)
-            t, cnt = cats.get(c, (0.0, 0))
-            cats[c] = (t + ps, cnt + n)
-        grand = sum(t for t, _ in cats.values()) / 1e9 / STEPS
-        print(f"\n[{label}] total {grand:.1f} ms/step "
-              f"(wall {wall_ms:.1f} ms/step), {family} batch {batch} @ {res}px:")
-        for c, (ps, n) in sorted(cats.items(), key=lambda kv: -kv[1][0]):
-            ms = ps / 1e9 / STEPS
-            print(f"  {ms:8.1f} ms/step  {100*ms/max(grand,1e-9):5.1f}%  "
-                  f"x{n//STEPS:<6d} {c}")
-        # top op-name families inside each of the 3 biggest categories
-        for big, _ in sorted(cats.items(), key=lambda kv: -kv[1][0])[:3]:
-            fams = {}
-            sample = {}
-            for nm, (ps, n) in totals.items():
-                if categorize(nm) != big:
-                    continue
-                f = family_of(nm)
-                t, cnt = fams.get(f, (0.0, 0))
-                fams[f] = (t + ps, cnt + n)
-                if f not in sample or ps > sample[f][1]:
-                    sample[f] = (nm, ps)
-            print(f"  top families in '{big}':")
-            for f, (ps, n) in sorted(fams.items(), key=lambda kv: -kv[1][0])[:6]:
-                nm = sample[f][0]
-                short = nm if len(nm) <= 120 else nm[:117] + "..."
-                print(f"    {ps/1e9/STEPS:8.2f} ms/step x{n//STEPS:<6d} {f}"
-                      f"  e.g. {short}")
+    print(f"{family} batch {batch} @ {res}px:")
+    print(xplane.category_report(paths[0], STEPS, wall_ms=wall_ms))
 
 
 if __name__ == "__main__":

@@ -19,6 +19,7 @@ Schema (tsl/profiler/protobuf/xplane.proto, field numbers in comments):
 - map entries: key=1, value=2
 """
 
+import re
 from typing import Dict, Iterator, List, Tuple
 
 
@@ -152,3 +153,97 @@ def top_ops(
     totals = op_durations(data, plane_substring, line_substring)
     ranked = sorted(totals.items(), key=lambda kv: -kv[1][0])
     return [(name, t / 1e9, n) for name, (t, n) in ranked[:k]]
+
+
+_OPCODE_RE = re.compile(r" = (?:\([^=]*?\) )?([a-z][a-z0-9-]*)\(")
+
+
+def opcode_of(name: str) -> str:
+    """Extract the HLO opcode from '%id = [tuple-shape ]opcode(operands)'.
+
+    Single-output instructions put the (un-parenthesized) shape between
+    '=' and the opcode, which this regex can't bridge — those return '?'
+    and are categorized by their op-name family instead."""
+    m = _OPCODE_RE.search(name)
+    return m.group(1) if m else "?"
+
+
+def family_of(name: str) -> str:
+    """Op-name family: the HLO id with trailing .N / digits stripped."""
+    opid = name.split(" = ", 1)[0].lstrip("%")
+    return re.sub(r"[.\d]+$", "", opid)
+
+
+def categorize(name: str) -> str:
+    """Bucket a full HLO instruction string into a coarse perf category."""
+    opid = name.split(" = ", 1)[0].lstrip("%")
+    op = opcode_of(name)
+    if op in ("copy", "copy-start", "copy-done", "transpose", "bitcast"):
+        return "copy/relayout"
+    if op == "custom-call":
+        if "lion" in name.lower() or "s8[" in name:
+            return "lion custom-call"
+        if "attn" in opid or "flash" in name.lower():
+            return "flash custom-call"
+        return "other custom-call"
+    if op == "convolution" or opid.startswith("convolution"):
+        return "convolution"
+    if op == "fusion":
+        return "fusion"
+    if op in ("all-reduce", "all-gather", "reduce-scatter",
+              "collective-permute", "all-to-all"):
+        return "collective"
+    return "other"
+
+
+def category_report(xspace_path: str, steps: int, wall_ms: float = None,
+                    top_families: int = 3) -> str:
+    """Render the per-category serialized-time table for a traced run.
+
+    ``steps`` = how many identical steps the trace window covered. A
+    ``while`` op's self time includes its body (also counted individually),
+    so loopy programs can report a serialized total above wall time —
+    compare category deltas there, not the grand total."""
+    with open(xspace_path, "rb") as f:
+        data = f.read()
+    lines_out = []
+    for line_name, label in (("XLA Ops", "serialized (XLA Ops line)"),
+                             ("Async XLA Ops", "async occupancy (overlaps)")):
+        totals = op_durations(data, "/device:TPU", line_name)
+        if not totals:
+            lines_out.append(f"[{label}] no events")
+            continue
+        cats: Dict[str, Tuple[float, int]] = {}
+        for name, (ps, n) in totals.items():
+            c = categorize(name)
+            t, cnt = cats.get(c, (0.0, 0))
+            cats[c] = (t + ps, cnt + n)
+        grand = sum(t for t, _ in cats.values()) / 1e9 / steps
+        wall = f" (wall {wall_ms:.1f} ms/step)" if wall_ms else ""
+        lines_out.append(f"\n[{label}] total {grand:.1f} ms/step{wall}:")
+        for c, (ps, n) in sorted(cats.items(), key=lambda kv: -kv[1][0]):
+            ms = ps / 1e9 / steps
+            lines_out.append(
+                f"  {ms:8.1f} ms/step  {100 * ms / max(grand, 1e-9):5.1f}%  "
+                f"x{n // steps:<6d} {c}"
+            )
+        for big, _ in sorted(cats.items(), key=lambda kv: -kv[1][0])[:top_families]:
+            fams: Dict[str, Tuple[float, int]] = {}
+            sample: Dict[str, Tuple[str, float]] = {}
+            for nm, (ps, n) in totals.items():
+                if categorize(nm) != big:
+                    continue
+                f2 = family_of(nm)
+                t, cnt = fams.get(f2, (0.0, 0))
+                fams[f2] = (t + ps, cnt + n)
+                if f2 not in sample or ps > sample[f2][1]:
+                    sample[f2] = (nm, ps)
+            lines_out.append(f"  top families in '{big}':")
+            for f2, (ps, n) in sorted(fams.items(), key=lambda kv: -kv[1][0])[:6]:
+                nm = sample[f2][0]
+                short = nm if len(nm) <= 120 else nm[:117] + "..."
+                lines_out.append(
+                    f"    {ps/1e9/steps:8.2f} ms/step x{n//steps:<6d} {f2}"
+                    f"  e.g. {short}"
+                )
+    return "\n".join(lines_out)
