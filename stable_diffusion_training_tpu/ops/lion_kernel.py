@@ -11,20 +11,24 @@ the (default, and only config-used) f32 scale dtype — verified by parity
 tests. Non-f32 ``mu_scale_dtype`` would differ in the low bits.
 
 Layout: a flat parameter of N elements with quantization block size ``bs``
-is viewed as ``(N/bs, bs)`` blocks. Two kernel layouts, both
-bitwise-identical to the jnp path for f32 scales:
+is viewed as ``(N/bs, bs)`` blocks. Four kernel layouts, all
+bitwise-identical to the jnp path for f32 scales (history in
+PERF_NOTES.md; the optimizer picks per leaf, see ``optim.lion8bit``):
 
-- **narrow** (default): rows of whole blocks, last dim = ``bs``. Measured
-  fastest on v5e at every block size (PERF_NOTES.md round-2 A/B).
-- **wide** (opt-in ``layout="wide"``, ``bs`` < 128 dividing 128): the flat
-  array is viewed as ``(N/128, 128)`` so every VPU lane is nominally live;
-  per-block absmax is a roll-tree lane-group max and scale expand/pick are
-  one-hot MXU matmuls (Mosaic cannot shape-cast (r,128)<->(r,gpr,bs)).
-  Measured SLOWER than narrow on v5e (72.8 vs 69.7 ms at bs=16, 70.0 vs
-  53.2 at bs=64, same session/regime): Mosaic's native handling of
-  small-minor-dim tiles beats the extra rotations/matmuls, so the
-  lane-padding analysis did not survive contact with the hardware. Kept
-  opt-in for re-evaluation on uncapped chips.
+- **dense** (production for leaves with size % 1024 == 0, bs in {8,16}):
+  codes are the parameter's own ``(N/128, 128)`` bitcast view, scales
+  tile-grouped — grads enter / updates leave in natural layout with zero
+  XLA relayouts. 2.3x faster than transposed per-leaf on v5e.
+- **transposed** (production fallback): codes ``(bs, n_blocks)``, scales
+  ``(1, n_blocks)`` — 3.0x faster than narrow (no 16/128-lane DMA pad).
+- **narrow** (legacy default of ``fused_lion8bit_update``): rows of whole
+  blocks, last dim = ``bs``. Won the round-2 kernel-only A/B but its
+  operand relayouts dominated the full step (round-3 trace: 430 ms).
+- **wide** (opt-in ``layout="wide"``): ``(N/128, 128)`` view with
+  ``(rows, gpr)`` scales — the padded scales traffic made it SLOWER than
+  narrow on v5e (72.8 vs 69.7 ms at bs=16); kept as a recorded negative
+  result. The dense layout is its fixed successor (packed scales, natural
+  I/O).
 """
 
 import functools
@@ -35,12 +39,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 from ..optim.lion8bit import _ZERO_CROSSING_OFFSET
+from ..optim.lion8bit import _dense_ok as dense_layout_ok
+from ..optim.lion8bit import dense_tile_rows  # noqa: F401  (public re-export)
 
 _DEFAULT_ROWS = 1024
-
-
-from ..optim.lion8bit import _dense_ok as dense_layout_ok  # noqa: E402
-from ..optim.lion8bit import dense_tile_rows  # noqa: E402
 
 
 def _lion_kernel_dense(g_ref, codes_ref, scales_ref, upd_ref, new_codes_ref,
