@@ -175,9 +175,29 @@ def family_of(name: str) -> str:
 
 
 def categorize(name: str) -> str:
-    """Bucket a full HLO instruction string into a coarse perf category."""
+    """Bucket a full HLO instruction string into a coarse perf category.
+
+    Single-output instructions put an un-parenthesized shape between '='
+    and the opcode, which ``opcode_of`` can't bridge — for those, fall
+    back to the op-name FAMILY (HLO names derive from the opcode or the
+    producing op): e.g. ``%copy.104 = bf16[...] copy(...)`` has opcode
+    '?' but family 'copy'."""
     opid = name.split(" = ", 1)[0].lstrip("%")
     op = opcode_of(name)
+    if op == "?":
+        fam = family_of(name)
+        if fam in ("copy", "copy-start", "copy-done", "transpose",
+                   "bitcast"):
+            op = fam
+        elif fam.endswith("fusion") or fam == "fusion":
+            op = "fusion"
+        elif fam.startswith("convolution") or fam.startswith("conv"):
+            op = "convolution"
+        elif "attn" in fam or "flash" in fam:
+            op = "custom-call"
+        elif fam in ("all-reduce", "all-gather", "reduce-scatter",
+                     "collective-permute", "all-to-all"):
+            op = fam
     if op in ("copy", "copy-start", "copy-done", "transpose", "bitcast"):
         return "copy/relayout"
     if op == "custom-call":

@@ -94,3 +94,42 @@ def test_exact_line_match_excludes_async_variant(tmp_path):
     path = tmp_path / "t.xplane.pb"
     path.write_bytes(_xspace([plane]))
     assert xplane.top_ops(str(path)) == [("op_a", 0.002, 1)]
+
+
+def test_opcode_family_categorize():
+    full = ("%copy.104 = bf16[16,4096]{1,0:T(8,128)} "
+            "copy(bf16[16,4096]{0,1} %reshape.3)")
+    assert xplane.opcode_of(full) == "?"  # un-parenthesized shape: by family
+    assert xplane.family_of(full) == "copy"
+    assert xplane.categorize(full) == "copy/relayout"
+
+    tup = ("%attn1.28 = (bf16[120,4096,40]{2,1,0}, bf16[120,4096,40]{2,1,0}) "
+           "custom-call(bf16[120,4096,40]{2,1,0} %bitcast.1)")
+    assert xplane.opcode_of(tup) == "custom-call"
+    assert xplane.categorize(tup) == "flash custom-call"
+
+    lion = ("%custom-call.9 = (bf16[230400,128]{1,0}, s8[230400,128]{1,0}) "
+            "custom-call(bf16[230400,128]{1,0} %p0)")
+    assert xplane.categorize(lion) == "lion custom-call"
+
+    fus = ("%multiply_reduce_fusion.3 = (bf16[]{:T(256)}, bf16[3,3,640,640]"
+           "{3,2,1,0}) fusion(bf16[6,96,96,640]{3,0,2,1} %custom-call.2)")
+    # operand text contains 'custom-call' but the OPCODE is fusion
+    assert xplane.opcode_of(fus) == "fusion"
+    assert xplane.categorize(fus) == "fusion"
+
+
+def test_category_report_renders(tmp_path):
+    metas = [
+        (1, "%fusion.1 = (f32[8,32]{1,0}) fusion(f32[8,32]{1,0} %p0)"),
+        (2, "%attn1.2 = (bf16[8,64,40]{2,1,0}) custom-call(bf16[8,64,40] %x)"),
+    ]
+    ops_line = _line("XLA Ops", [_event(1, 0, 6_000_000),
+                                 _event(2, 10, 3_000_000)])
+    plane = _plane("/device:TPU:0", [ops_line], metas)
+    path = tmp_path / "r.xplane.pb"
+    path.write_bytes(_xspace([plane]))
+    report = xplane.category_report(str(path), steps=3, wall_ms=12.5)
+    assert "serialized (XLA Ops line)" in report
+    assert "fusion" in report and "flash custom-call" in report
+    assert "wall 12.5 ms/step" in report
