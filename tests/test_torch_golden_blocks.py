@@ -671,3 +671,66 @@ class TestFullVaeDecodeParity:
         np.testing.assert_allclose(
             np.asarray(ours), theirs.numpy(), atol=3e-5, rtol=1e-4
         )
+
+
+class TestSDXLAddEmbedding:
+    def test_text_time_add_embedding_matches_torch(self, rng):
+        """SDXL 'text_time' micro-conditioning path (unet.py:119-138):
+        sinusoidal(time_ids) -> concat with pooled text_embeds ->
+        add_embedding MLP — golden against hand-assembled torch Linears on
+        weights mapped through flax_params_to_torch_state_dict (the
+        add_embedding linear_1 export key regression lived exactly here)."""
+        from stable_diffusion_training_tpu.models.blocks import (
+            TimestepEmbedding,
+            get_sinusoidal_embeddings,
+        )
+
+        unet = UNet2DConditionModel(**configs.TINY_SDXL_UNET)
+        params = unet.init(rng, batch_size=2, height=8, width=8)
+        sd = {
+            k: torch.tensor(np.asarray(v))
+            for k, v in flax_params_to_torch_state_dict(params).items()
+        }
+        assert "add_embedding.linear_1.weight" in sd
+
+        bsz = 2
+        text_embeds = jax.random.normal(jax.random.fold_in(rng, 2), (bsz, 16))
+        time_ids = jnp.asarray(
+            [[1024, 1024, 0, 0, 1024, 1024], [768, 768, 32, 16, 512, 512]],
+            jnp.float32,
+        )
+
+        # ours: the same modules the UNet forward composes
+        time_embeds = get_sinusoidal_embeddings(
+            time_ids.reshape(-1), 8, flip_sin_to_cos=True, freq_shift=0.0
+        ).reshape(bsz, -1)
+        add_embeds = jnp.concatenate([text_embeds, time_embeds], axis=-1)
+        inner = params["params"] if "params" in params else params
+        ours = TimestepEmbedding(128).apply(
+            {"params": inner["add_embedding"]}, add_embeds
+        )
+
+        # theirs: torch Linears on the exported weights + diffusers'
+        # Timesteps math (flip_sin_to_cos=True, shift 0)
+        lin1 = tnn.Linear(64, 128)
+        lin2 = tnn.Linear(128, 128)
+        lin1.load_state_dict(
+            {"weight": sd["add_embedding.linear_1.weight"],
+             "bias": sd["add_embedding.linear_1.bias"]}
+        )
+        lin2.load_state_dict(
+            {"weight": sd["add_embedding.linear_2.weight"],
+             "bias": sd["add_embedding.linear_2.bias"]}
+        )
+        with torch.no_grad():
+            t_sin = TorchTinyUNet._time_proj(
+                torch.tensor(np.asarray(time_ids.reshape(-1))), dim=8
+            ).reshape(bsz, -1)
+            cat = torch.cat(
+                [torch.tensor(np.asarray(text_embeds)), t_sin], dim=-1
+            )
+            theirs = lin2(F.silu(lin1(cat)))
+
+        np.testing.assert_allclose(
+            np.asarray(ours), theirs.numpy(), atol=2e-5, rtol=1e-4
+        )
