@@ -484,6 +484,27 @@ def _tpu_available(timeout_s: int = 240) -> bool:
         return False
 
 
+def _tpu_available_with_retry() -> bool:
+    """Bounded retry/backoff around the TPU probe: the rig's outages are
+    often transient pool-claim contention, so one failed probe should not
+    condemn the whole capture window to a recorded-values artifact.
+    BENCH_TPU_RETRIES probes (default 3), BENCH_TPU_BACKOFF_S between them
+    (default 60) — worst case ~14 min before giving up."""
+    retries = int(os.environ.get("BENCH_TPU_RETRIES", "3"))
+    backoff = float(os.environ.get("BENCH_TPU_BACKOFF_S", "60"))
+    for attempt in range(max(1, retries)):
+        if _tpu_available():
+            return True
+        if attempt + 1 < retries:
+            print(
+                f"# TPU probe {attempt + 1}/{retries} failed; retrying in "
+                f"{backoff:.0f}s",
+                flush=True,
+            )
+            time.sleep(backoff)
+    return False
+
+
 def main():
     batch = int(os.environ.get("BENCH_BATCH", "16"))
     res = int(os.environ.get("BENCH_RES", "512"))
@@ -491,24 +512,50 @@ def main():
     family = os.environ.get("BENCH_FAMILY", "sd15")
     skip_ref = os.environ.get("BENCH_SKIP_REF", "") == "1"
 
-    if not _tpu_available():
-        # chip unavailable: emit the LAST MEASURED numbers, unambiguously
-        # labeled — a parseable artifact beats a wedged process, and the
-        # measurement provenance (PERF_NOTES.md, session date) is explicit
+    if not _tpu_available_with_retry():
+        # chip unavailable: emit a record whose VALUE IS NULL so no
+        # value-keyed consumer can mistake stale numbers for a live
+        # measurement; the last measured numbers ride along only under
+        # the clearly-separate recorded_* fields (provenance:
+        # PERF_NOTES.md, session date)
         print(json.dumps({
             "metric": f"train_images_per_sec_per_chip_{family}_{res}",
-            "value": 24.18, "unit": "images/sec/chip",
-            "vs_baseline": 2.0446,
-            "baseline_anchor": "same_session_reference_style_step_batch8",
+            "value": None, "unit": "images/sec/chip",
+            "vs_baseline": None,
             "error": "tpu_unavailable_at_bench_time",
             "recorded_not_fresh": True,
             "recorded_on": "2026-08-18",
-            "batch_size": 16, "mfu": 0.411, "mfu_vs_measured": 0.738,
+            "recorded_headline": {
+                "images_per_sec_per_chip": 24.18, "vs_baseline": 2.0446,
+                "baseline_anchor": "same_session_reference_style_step_batch8",
+                "batch_size": 16, "mfu": 0.411, "mfu_vs_measured": 0.738,
+            },
             "recorded_config_legs": RECORDED_CONFIG_LEGS,
         }))
         return
 
-    opt = run_leg(family, batch, res, steps, reference_style=False)
+    # headline leg with a bounded batch-fallback ladder: co-tenant HBM
+    # pressure can push the preferred operating point out of memory at
+    # capture time; a smaller live measurement beats no artifact
+    opt = None
+    for batch in dict.fromkeys((batch, 12, 8)):
+        try:
+            opt = run_leg(family, batch, res, steps, reference_style=False)
+            break
+        except Exception as exc:
+            print(
+                f"# headline leg failed at batch {batch}: "
+                f"{type(exc).__name__}",
+                flush=True,
+            )
+    if opt is None:
+        print(json.dumps({
+            "metric": f"train_images_per_sec_per_chip_{family}_{res}",
+            "value": None, "unit": "images/sec/chip",
+            "vs_baseline": None,
+            "error": "headline_leg_failed_all_batches",
+        }))
+        return
 
     ref = None
     ref_batch = batch

@@ -84,10 +84,31 @@ def dense_tile_rows(x: int, cap: int = 1024) -> int:
     return best
 
 
+def _momentum_layout(codes, scales) -> str:
+    """Classify a quantized momentum leaf's storage layout by its scales
+    shape (the codes shape can be ambiguous between layouts):
+
+    - ``"transposed"``: scales ``(1, nb)``, codes ``(block_size, nb)``;
+    - ``"narrow"``: the LEGACY reference-order storage — scales
+      ``(nb > 1, 1)``, codes ``(nb, block_size)`` (the reference's own
+      view, ``/root/reference/lion_quant.py:66-92``); only appears in
+      old full-state checkpoints, migrated on restore;
+    - ``"dense"``: scales tile-grouped ``(gpr*x/r, r)`` with both dims
+      >= 8 (``r = dense_tile_rows(x)`` is a multiple of 8 and
+      ``gpr*x/r >= gpr >= 8``), codes ``(size/128, 128)``.
+    """
+    if scales.shape[0] == 1:
+        return "transposed"
+    if scales.shape[1] == 1:
+        return "narrow"
+    return "dense"
+
+
 def _is_dense(codes, scales) -> bool:
-    """Distinguish the two quantized layouts by the scales leading dim:
-    transposed scales are ``(1, nb)``; dense are ``(gpr*x/r >= 8, r)``."""
-    return scales.shape[0] != 1
+    """True for the dense layout. Both non-dense layouts have a size-1
+    scales dim (transposed ``(1, nb)``; legacy narrow ``(nb, 1)``) — a
+    bare ``shape[0] != 1`` check would misclassify narrow as dense."""
+    return _momentum_layout(codes, scales) == "dense"
 
 
 def _scales_flat_to_dense(scales_flat, x: int, gpr: int, r: Optional[int] = None):
@@ -117,10 +138,11 @@ def _scales_dense_to_flat(scales_d, x: int):
 
 
 def momentum_to_reference_layout(node):
-    """Map a quantized momentum leaf (either layout) to the reference's
+    """Map a quantized momentum leaf (any layout) to the reference's
     ``(n_blocks, block_size)`` codes + ``(n_blocks, 1)`` scales view."""
     codes, scales = node
-    if _is_dense(codes, scales):
+    layout = _momentum_layout(codes, scales)
+    if layout == "dense":
         x = codes.shape[0]
         nb = scales.size
         bs = codes.size // nb
@@ -128,6 +150,8 @@ def momentum_to_reference_layout(node):
             codes.reshape(-1, bs),
             _scales_dense_to_flat(scales, x).reshape(-1, 1),
         )
+    if layout == "narrow":
+        return node  # legacy narrow storage IS the reference view
     return (jnp.transpose(codes), jnp.transpose(scales))
 
 
@@ -363,17 +387,26 @@ def momentum_to_canonical_layout(node):
     """Re-layout a quantized momentum leaf (codes, scales) from any storage
     layout to the CURRENT canonical one (dense where eligible, else
     transposed). Values are preserved exactly — this is a pure relayout,
-    used to migrate full-state checkpoints written by older layouts."""
+    used to migrate full-state checkpoints written by older layouts
+    (block-transposed, and the original narrow reference-order storage)."""
     codes, scales = node
-    if _is_dense(codes, scales):
+    layout = _momentum_layout(codes, scales)
+    if layout == "dense":
         return node  # dense is already canonical where it appears
-    bs, nb = codes.shape
+    if layout == "narrow":
+        nb, bs = codes.shape
+        codes_flat = codes.reshape(-1)  # already flat element order
+    else:  # transposed
+        bs, nb = codes.shape
+        codes_flat = jnp.transpose(codes).reshape(-1)  # flat element order
     size = bs * nb
+    scales_flat = scales.reshape(-1)  # flat block order in both layouts
     if not _dense_ok(size, bs):
+        if layout == "narrow":
+            # narrow -> transposed (the canonical non-dense layout)
+            return (jnp.transpose(codes), scales_flat.reshape(1, nb))
         return node  # transposed is canonical for this leaf
     gpr = 128 // bs
-    codes_flat = jnp.transpose(codes).reshape(-1)   # flat element order
-    scales_flat = scales.reshape(-1)                # flat block order
     return (
         codes_flat.reshape(-1, 128),
         _scales_flat_to_dense(scales_flat, size // 128, gpr).astype(

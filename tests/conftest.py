@@ -24,23 +24,26 @@ import jax  # noqa: E402  (import after env setup)
 jax.config.update("jax_platforms", "cpu")
 
 from stable_diffusion_training_tpu.utils.hostcache import (  # noqa: E402
-    host_cache_fingerprint as _host_fingerprint,
+    prepare_cache_dir as _prepare_cache_dir,
 )
 
 # persistent XLA compile cache shared by the whole suite: the fused train
 # step compiles once per (shape, statics) across ALL test sessions — the
 # single biggest lever for suite wall-clock on 1-core CI boxes. Repo-local
 # (gitignored) so it survives /tmp wipes between sessions, keyed by the
-# host CPU fingerprint so rotated boxes never load foreign executables.
-_cache_dir = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    ".cache",
-    f"jax_pytest_{_host_fingerprint()}",
-)
+# host CPU fingerprint (flags + model name + jaxlib) so rotated boxes never
+# load foreign executables; stale-keyed sibling dirs are purged.
 try:
-    os.makedirs(_cache_dir, exist_ok=True)
+    _cache_dir = _prepare_cache_dir(
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".cache",
+        ),
+        "jax_pytest",
+    )
 except OSError:
     _cache_dir = "/tmp/jax_cache_pytest"
+    os.makedirs(_cache_dir, exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 

@@ -116,3 +116,85 @@ def test_legacy_transposed_momentum_checkpoint_migrates(tmp_path):
     r_codes, r_scales = restored["unet_state"].opt_state[0].mu_quant["w"]
     np.testing.assert_array_equal(np.asarray(r_codes), np.asarray(codes_d))
     np.testing.assert_array_equal(np.asarray(r_scales), np.asarray(scales_d))
+
+
+def test_legacy_narrow_momentum_checkpoint_migrates(tmp_path):
+    """A full-state checkpoint written with the ORIGINAL narrow
+    reference-order momentum storage — codes ``(n_blocks, block_size)``,
+    scales ``(n_blocks, 1)`` — restores into the canonical dense template.
+
+    Regression test for the ``_is_dense`` misclassification (scales
+    ``(nb, 1)`` has ``shape[0] != 1`` and was treated as dense, so
+    ``momentum_to_canonical_layout`` returned it unmigrated and restore
+    raised ValueError, making pre-dense-era checkpoints unrestorable)."""
+    from flax.training import train_state
+
+    from stable_diffusion_training_tpu.optim import lion_8bit
+    from stable_diffusion_training_tpu.optim.lion8bit import (
+        _is_dense,
+        momentum_to_reference_layout,
+    )
+
+    params = {"w": jnp.asarray(np.linspace(-1, 1, 2048, dtype=np.float32)
+                               .reshape(32, 64))}
+    tx = lion_8bit(1e-2, block_size=16, excluded_layer_mask=True)
+    state = train_state.TrainState.create(
+        apply_fn=lambda *a, **k: None, params=params, tx=tx
+    )
+    g = {"w": jnp.asarray(
+        np.random.RandomState(9).randn(32, 64).astype(np.float32)
+    )}
+    state = state.apply_gradients(grads=g)
+    lion_state = state.opt_state[0]
+    codes_d, scales_d = lion_state.mu_quant["w"]
+    assert _is_dense(codes_d, scales_d)
+
+    # the reference view IS the narrow storage: (nb, bs) codes, (nb, 1) scales
+    narrow_mu = momentum_to_reference_layout((codes_d, scales_d))
+    assert narrow_mu[0].shape == (128, 16) and narrow_mu[1].shape == (128, 1)
+    assert not _is_dense(*narrow_mu)  # the old check called this dense
+    legacy_state = state.replace(
+        opt_state=(
+            lion_state._replace(mu_quant={"w": narrow_mu}),
+        ) + state.opt_state[1:]
+    )
+    rng = jax.random.PRNGKey(0)
+    ckpt_dir = str(tmp_path / "narrow_state")
+    save_train_state(ckpt_dir, legacy_state, legacy_state, {}, None, rng)
+
+    template = {
+        "unet_state": state,
+        "text_encoder_state": state,
+        "unet_ema_params": {},
+        "text_encoder_ema_params": {},
+        "train_rng": rng,
+    }
+    restored = restore_train_state(ckpt_dir, template)
+    r_codes, r_scales = restored["unet_state"].opt_state[0].mu_quant["w"]
+    np.testing.assert_array_equal(np.asarray(r_codes), np.asarray(codes_d))
+    np.testing.assert_array_equal(np.asarray(r_scales), np.asarray(scales_d))
+
+
+def test_narrow_momentum_migrates_to_transposed_when_not_dense_eligible():
+    """Narrow leaves whose size is not a multiple of 1024 migrate to the
+    block-TRANSPOSED canonical layout, values exact."""
+    from stable_diffusion_training_tpu.optim.lion8bit import (
+        _dense_ok,
+        _momentum_layout,
+        momentum_to_canonical_layout,
+        momentum_to_reference_layout,
+    )
+
+    nb, bs = 32, 16  # 512 elements: not dense-eligible
+    assert not _dense_ok(nb * bs, bs)
+    rs = np.random.RandomState(11)
+    narrow = (
+        jnp.asarray(rs.randint(-127, 128, size=(nb, bs), dtype=np.int8)),
+        jnp.asarray(rs.rand(nb, 1).astype(np.float32) + 0.5),
+    )
+    canon = momentum_to_canonical_layout(narrow)
+    assert _momentum_layout(*canon) == "transposed"
+    assert canon[0].shape == (bs, nb) and canon[1].shape == (1, nb)
+    back_codes, back_scales = momentum_to_reference_layout(canon)
+    np.testing.assert_array_equal(np.asarray(back_codes), np.asarray(narrow[0]))
+    np.testing.assert_array_equal(np.asarray(back_scales), np.asarray(narrow[1]))
