@@ -266,10 +266,13 @@ class StableDiffusionXLPipeline(StableDiffusionPipeline):
                 z.astype(self.dtype), {"params": params["vae"]}
             ).sample
 
-        # SDXL output is >=1024²: whole-batch decode triggers XLA's f32
+        # At >=768² output, whole-batch decode triggers XLA's f32
         # spatially-partitioned convolutions (see stable_diffusion.py /
-        # PERF_NOTES round 3); decode per-sample instead
-        if decode_in.shape[0] > 1:
+        # PERF_NOTES round 3), so decode per-sample — but gate on the
+        # ACTUAL output size (latents are NCHW here): small user-passed
+        # sizes and tiny test families decode faster whole-batch
+        out_size = max(latents.shape[2], latents.shape[3]) * self.vae_scale_factor
+        if out_size >= 768 and decode_in.shape[0] > 1:
             image = jax.lax.map(lambda z: _decode(z[None])[0], decode_in)
         else:
             image = _decode(decode_in)

@@ -338,8 +338,9 @@ class StableDiffusionXLImg2ImgPipeline(StableDiffusionXLPipeline):
                 z.astype(self.dtype), {"params": params["vae"]}
             ).sample
 
-        # refiner output is >=1024²: decode per-sample (see sdxl.py note)
-        if decode_in.shape[0] > 1:
+        # per-sample decode at >=768² actual output only (see sdxl.py note)
+        out_size = max(latents.shape[2], latents.shape[3]) * self.vae_scale_factor
+        if out_size >= 768 and decode_in.shape[0] > 1:
             image_out = jax.lax.map(
                 lambda z: _decode(z[None])[0], decode_in
             )
