@@ -1,0 +1,366 @@
+"""Torch-golden numerics at the FULL SD1.5 configuration.
+
+The reference's denoiser/VAE ARE diffusers models
+(``/root/reference/training_utils.py:209-222``); block-level parity vs
+hand-assembled torch equivalents is proven in ``test_torch_golden_blocks``.
+This file closes the last environment-reachable rung of that ladder: the
+complete SD1.5-config UNet forward (batch 1, 32x32 latents, f32, CPU) and
+the full SD-VAE encode, against a GENERIC torch assembler parameterized by
+the same config dicts (``models.configs``), with every weight transferred
+through ``hf_io.flax_params_to_torch_state_dict`` under ``strict=True`` —
+so the full 860M-param name/layout mapping is locked against the diffusers
+checkpoint format, not just the per-block subsets. Remaining caveat is only
+pretrained-weights parity, which needs diffusers itself (not installable in
+this image).
+"""
+
+import gc
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn as tnn  # noqa: E402
+import torch.nn.functional as F  # noqa: E402
+
+from stable_diffusion_training_tpu.models import (  # noqa: E402
+    AutoencoderKL,
+    UNet2DConditionModel,
+    configs,
+)
+from stable_diffusion_training_tpu.models.hf_io import (  # noqa: E402
+    flax_params_to_torch_state_dict,
+)
+from test_torch_golden_blocks import (  # noqa: E402
+    TorchDownsample2D,
+    TorchResnetBlock2D,
+    TorchTinyUNet,
+    TorchTransformer2DModel,
+    TorchUpsample2D,
+    TorchVaeAttentionBlock,
+)
+
+pytestmark = pytest.mark.slow  # ~GFLOP-scale f32 forwards on 1-core CPU
+
+
+def _per_block(value, n):
+    if isinstance(value, (list, tuple)):
+        assert len(value) == n
+        return tuple(value)
+    return (value,) * n
+
+
+class TorchUNet2DCondition(tnn.Module):
+    """Generic diffusers-architecture torch UNet built from a
+    ``models.configs`` UNet config dict (same per-level head/depth/skip
+    bookkeeping as ``models/unet.py::UNetCore``)."""
+
+    def __init__(self, cfg):
+        super().__init__()
+        block_out = tuple(cfg["block_out_channels"])
+        n = len(block_out)
+        layers = cfg["layers_per_block"]
+        heads_pb = _per_block(
+            cfg.get("num_attention_heads") or cfg["attention_head_dim"], n
+        )
+        tf_pb = _per_block(cfg.get("transformer_layers_per_block", 1), n)
+        ulp = cfg.get("use_linear_projection", False)
+        ctx = cfg["cross_attention_dim"]
+        temb_ch = block_out[0] * 4
+        self._time_proj_dim = block_out[0]
+
+        self.conv_in = tnn.Conv2d(cfg["in_channels"], block_out[0], 3, padding=1)
+
+        class TimeEmbedding(tnn.Module):
+            def __init__(self, in_dim, dim):
+                super().__init__()
+                self.linear_1 = tnn.Linear(in_dim, dim)
+                self.linear_2 = tnn.Linear(dim, dim)
+
+            def forward(self, t):
+                return self.linear_2(F.silu(self.linear_1(t)))
+
+        self.time_embedding = TimeEmbedding(block_out[0], temb_ch)
+
+        class Down(tnn.Module):
+            def __init__(self, in_ch, out_ch, cross, heads, depth, downsample):
+                super().__init__()
+                self.cross = cross
+                self.resnets = tnn.ModuleList(
+                    [
+                        TorchResnetBlock2D(
+                            in_ch if j == 0 else out_ch, out_ch, temb_ch=temb_ch
+                        )
+                        for j in range(layers)
+                    ]
+                )
+                if cross:
+                    self.attentions = tnn.ModuleList(
+                        [
+                            TorchTransformer2DModel(
+                                out_ch, heads, out_ch // heads, ctx,
+                                depth=depth, use_linear_projection=ulp,
+                            )
+                            for _ in range(layers)
+                        ]
+                    )
+                if downsample:
+                    self.downsamplers = tnn.ModuleList(
+                        [TorchDownsample2D(out_ch)]
+                    )
+
+            def forward(self, x, temb, context):
+                skips = ()
+                for j, resnet in enumerate(self.resnets):
+                    x = resnet(x, temb)
+                    if self.cross:
+                        x = self.attentions[j](x, context)
+                    skips += (x,)
+                if hasattr(self, "downsamplers"):
+                    x = self.downsamplers[0](x)
+                    skips += (x,)
+                return x, skips
+
+        # simulate the skip-channel stack exactly as UNetCore builds it
+        skip_chs = [block_out[0]]
+        self.down_blocks = tnn.ModuleList()
+        ch = block_out[0]
+        for i, out_ch in enumerate(block_out):
+            is_last = i == n - 1
+            cross = cfg["down_block_types"][i] == "CrossAttnDownBlock2D"
+            self.down_blocks.append(
+                Down(ch, out_ch, cross, heads_pb[i], tf_pb[i], not is_last)
+            )
+            skip_chs += [out_ch] * layers + ([] if is_last else [out_ch])
+            ch = out_ch
+
+        class Mid(tnn.Module):
+            def __init__(self, ch, heads, depth):
+                super().__init__()
+                self.resnets = tnn.ModuleList(
+                    [
+                        TorchResnetBlock2D(ch, ch, temb_ch=temb_ch),
+                        TorchResnetBlock2D(ch, ch, temb_ch=temb_ch),
+                    ]
+                )
+                self.attentions = tnn.ModuleList(
+                    [
+                        TorchTransformer2DModel(
+                            ch, heads, ch // heads, ctx,
+                            depth=depth, use_linear_projection=ulp,
+                        )
+                    ]
+                )
+
+            def forward(self, x, temb, context):
+                x = self.resnets[0](x, temb)
+                x = self.attentions[0](x, context)
+                return self.resnets[1](x, temb)
+
+        self.mid_block = Mid(block_out[-1], heads_pb[-1], tf_pb[-1])
+
+        class Up(tnn.Module):
+            def __init__(self, in_chs, out_ch, cross, heads, depth, upsample):
+                super().__init__()
+                self.cross = cross
+                self.resnets = tnn.ModuleList(
+                    [
+                        TorchResnetBlock2D(ic, out_ch, temb_ch=temb_ch)
+                        for ic in in_chs
+                    ]
+                )
+                if cross:
+                    self.attentions = tnn.ModuleList(
+                        [
+                            TorchTransformer2DModel(
+                                out_ch, heads, out_ch // heads, ctx,
+                                depth=depth, use_linear_projection=ulp,
+                            )
+                            for _ in in_chs
+                        ]
+                    )
+                if upsample:
+                    self.upsamplers = tnn.ModuleList([TorchUpsample2D(out_ch)])
+
+            def forward(self, x, skips, temb, context):
+                for j, resnet in enumerate(self.resnets):
+                    x = torch.cat([x, skips[-1]], dim=1)
+                    skips = skips[:-1]
+                    x = resnet(x, temb)
+                    if self.cross:
+                        x = self.attentions[j](x, context)
+                if hasattr(self, "upsamplers"):
+                    x = self.upsamplers[0](x)
+                return x, skips
+
+        rev_channels = tuple(reversed(block_out))
+        rev_heads = tuple(reversed(heads_pb))
+        rev_tf = tuple(reversed(tf_pb))
+        self.up_blocks = tnn.ModuleList()
+        for i, out_ch in enumerate(rev_channels):
+            is_last = i == n - 1
+            takes = skip_chs[-(layers + 1):]
+            skip_chs = skip_chs[: -(layers + 1)]
+            # resnet j concatenates the (len-1-j)-th of this block's skips
+            in_chs = [
+                (ch if j == 0 else out_ch) + takes[len(takes) - 1 - j]
+                for j in range(layers + 1)
+            ]
+            cross = cfg["up_block_types"][i] == "CrossAttnUpBlock2D"
+            self.up_blocks.append(
+                Up(in_chs, out_ch, cross, rev_heads[i], rev_tf[i], not is_last)
+            )
+            ch = out_ch
+        assert not skip_chs
+
+        self.conv_norm_out = tnn.GroupNorm(32, block_out[0], eps=1e-5)
+        self.conv_out = tnn.Conv2d(block_out[0], cfg["out_channels"], 3, padding=1)
+
+    def forward(self, sample, timesteps, context):
+        temb = self.time_embedding(
+            TorchTinyUNet._time_proj(timesteps, dim=self._time_proj_dim)
+        )
+        x = self.conv_in(sample)
+        skips = (x,)
+        for block in self.down_blocks:
+            x, s = block(x, temb, context)
+            skips += s
+        x = self.mid_block(x, temb, context)
+        for block in self.up_blocks:
+            x, skips = block(x, skips, temb, context)
+        assert not skips
+        return self.conv_out(F.silu(self.conv_norm_out(x)))
+
+
+class TorchVaeEncoder(tnn.Module):
+    """Generic diffusers-architecture torch VAE encoder (+ quant_conv) from
+    a ``models.configs`` VAE config dict."""
+
+    def __init__(self, cfg):
+        super().__init__()
+        block_out = tuple(cfg["block_out_channels"])
+        layers = cfg["layers_per_block"]
+        n = len(block_out)
+        self.conv_in = tnn.Conv2d(cfg["in_channels"], block_out[0], 3, padding=1)
+
+        class Down(tnn.Module):
+            def __init__(self, in_ch, out_ch, downsample):
+                super().__init__()
+                self.resnets = tnn.ModuleList(
+                    [
+                        TorchResnetBlock2D(in_ch if j == 0 else out_ch, out_ch)
+                        for j in range(layers)
+                    ]
+                )
+                if downsample:
+                    self.downsamplers = tnn.ModuleList(
+                        [TorchDownsample2D(out_ch, asymmetric_padding=True)]
+                    )
+
+            def forward(self, x):
+                for r in self.resnets:
+                    x = r(x)
+                if hasattr(self, "downsamplers"):
+                    x = self.downsamplers[0](x)
+                return x
+
+        self.down_blocks = tnn.ModuleList()
+        ch = block_out[0]
+        for i, out_ch in enumerate(block_out):
+            self.down_blocks.append(Down(ch, out_ch, i != n - 1))
+            ch = out_ch
+
+        class Mid(tnn.Module):
+            def __init__(self, ch):
+                super().__init__()
+                self.resnets = tnn.ModuleList(
+                    [TorchResnetBlock2D(ch, ch), TorchResnetBlock2D(ch, ch)]
+                )
+                self.attentions = tnn.ModuleList([TorchVaeAttentionBlock(ch)])
+
+            def forward(self, x):
+                x = self.resnets[0](x)
+                x = self.attentions[0](x)
+                return self.resnets[1](x)
+
+        self.mid_block = Mid(block_out[-1])
+        self.conv_norm_out = tnn.GroupNorm(32, block_out[-1], eps=1e-6)
+        self.conv_out = tnn.Conv2d(
+            block_out[-1], 2 * cfg["latent_channels"], 3, padding=1
+        )
+
+    def forward(self, x):
+        x = self.conv_in(x)
+        for block in self.down_blocks:
+            x = block(x)
+        x = self.mid_block(x)
+        return self.conv_out(F.silu(self.conv_norm_out(x)))
+
+
+def _to_torch_sd(flax_params, prefix=None):
+    sd = flax_params_to_torch_state_dict(flax_params)
+    if prefix:
+        sd = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+    return {k: torch.tensor(np.asarray(v)) for k, v in sd.items()}
+
+
+def test_sd15_full_unet_forward():
+    """Full SD1.5-config UNet forward (860M params, batch 1, 32x32 latents,
+    f32, CPU) matches the generic torch assembly through the hf_io mapping.
+    Matches the real denoiser the reference trains
+    (``/root/reference/training_utils.py:209-214``)."""
+    rng = jax.random.PRNGKey(0)
+    unet = UNet2DConditionModel(**configs.SD15_UNET)
+    params = unet.init(rng, batch_size=1, height=32, width=32)
+
+    tm = TorchUNet2DCondition(configs.SD15_UNET)
+    tm.load_state_dict(_to_torch_sd(params), strict=True)
+    tm.eval()
+
+    sample = jax.random.normal(jax.random.fold_in(rng, 1), (1, 4, 32, 32))
+    ctx = jax.random.normal(jax.random.fold_in(rng, 2), (1, 77, 768)) * 0.3
+    t = jnp.array([421])
+
+    ours = np.asarray(unet.apply(params, sample, t, ctx))
+    del params, unet
+    gc.collect()
+    with torch.no_grad():
+        theirs = tm(
+            torch.tensor(np.asarray(sample)),
+            torch.tensor(np.asarray(t)),
+            torch.tensor(np.asarray(ctx)),
+        ).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=1e-5, rtol=1e-4)
+
+
+def test_sd_full_vae_encode():
+    """Full SD-VAE-config encode (83M params, batch 1, 128x128 px -> 16x16
+    latent moments, f32) matches the generic torch assembly — every channel
+    tier and the asymmetric downsample padding at real depth. Matches
+    ``/root/reference/training_utils.py:218-222``."""
+    rng = jax.random.PRNGKey(3)
+    vae = AutoencoderKL(**configs.SD_VAE)
+    params = vae.init(rng, batch_size=1, resolution=128)
+
+    enc = TorchVaeEncoder(configs.SD_VAE)
+    enc.load_state_dict(_to_torch_sd(params, prefix="encoder."), strict=True)
+    quant = tnn.Conv2d(8, 8, 1)
+    sd = flax_params_to_torch_state_dict(params)
+    quant.load_state_dict(
+        {
+            "weight": torch.tensor(np.asarray(sd["quant_conv.weight"])),
+            "bias": torch.tensor(np.asarray(sd["quant_conv.bias"])),
+        }
+    )
+    enc.eval()
+
+    x = jax.random.normal(jax.random.fold_in(rng, 1), (1, 3, 128, 128))
+    dist = vae.encode(x, params).latent_dist
+    ours = np.asarray(jnp.concatenate([dist.mean, dist.logvar], axis=1))
+    del params, vae, sd
+    gc.collect()
+    with torch.no_grad():
+        theirs = quant(enc(torch.tensor(np.asarray(x)))).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=1e-5, rtol=1e-4)
