@@ -38,6 +38,7 @@ compare):
   train-step sink, 430 ms/step, in the first round-3 xprof trace).
 """
 
+import functools
 from typing import Any, Callable, NamedTuple, Optional, Union
 
 import chex
@@ -70,10 +71,18 @@ def _dense_ok(size: int, block_size: int) -> bool:
     return size % 1024 == 0 and block_size in (8, 16)
 
 
-def dense_tile_rows(x: int, cap: int = 1024) -> int:
+def dense_tile_rows(x: int, cap: int = 1024, divisor: int = 1) -> int:
     """Canonical dense-kernel tile height for a leaf with ``x = size/128``
     rows: the largest multiple-of-8 divisor of ``x`` that is <= cap. Also
-    fixes the dense scales storage shape, so it must stay deterministic."""
+    fixes the dense scales storage shape, so it must stay deterministic.
+
+    ``divisor`` > 1 (the FSDP axis size at state-build time) additionally
+    requires ``r`` to divide ``x/divisor`` when it can, so an even dim-0
+    shard boundary always lands on a whole scales tile — the alignment the
+    shard_map'd fused kernel needs (``fsdp_dense_eligible``). Leaves whose
+    ``x`` the divisor doesn't divide keep the canonical grouping."""
+    if divisor > 1 and x % divisor == 0:
+        return dense_tile_rows(x // divisor, cap)
     best = 8
     for k in range(1, cap // 8 + 1):
         r = 8 * k
@@ -137,6 +146,68 @@ def _scales_dense_to_flat(scales_d, x: int):
     )
 
 
+# FSDP mesh context for the fused Pallas Lion (set by train.states when
+# states are placed FSDP-sharded, mirroring ops.attention.set_attention_mesh):
+# the Pallas kernel is a custom call with no GSPMD partitioning rule, so on
+# an fsdp-sharded mesh it must run inside jax.shard_map on each device's
+# local shard. The dense layout makes that shard LOCAL-VALID: codes are the
+# param's own flat view, so a dim-0 param shard is a contiguous row range of
+# the codes, and (with tile-aligned boundaries, see fsdp_dense_eligible) the
+# tile-grouped scales shard to the matching contiguous row range — each
+# device's (codes, scales) shard is itself a well-formed dense layout for
+# its local rows, consumed by the unmodified kernel with zero collectives.
+_LION_FSDP_MESH = None  # (mesh, axis_name) | None
+
+
+def set_lion_fsdp_mesh(mesh, axis: str = "fsdp") -> None:
+    """Register (or clear, with ``mesh=None``) the mesh context that routes
+    eligible quantized leaves through the shard_map'd fused dense kernel."""
+    global _LION_FSDP_MESH
+    if mesh is None or dict(zip(mesh.axis_names, mesh.devices.shape)).get(
+        axis, 1
+    ) <= 1:
+        _LION_FSDP_MESH = None
+    else:
+        _LION_FSDP_MESH = (mesh, axis)
+
+
+def fsdp_dense_eligible(param_shape, codes_shape, scales_shape, k: int) -> bool:
+    """True when a dense-layout quantized leaf can run the fused kernel
+    shard_map'd over an fsdp axis of size ``k`` with dim-0 sharding on
+    param/grad, codes, and scales — all purely static shape checks:
+
+    - the param's dim 0 splits evenly and meaningfully (``% k == 0``,
+      ``>= 2k`` — mirroring ``parallel.sharding``'s divisibility rule), so
+      a shard is a contiguous flat range;
+    - each shard is a whole number of 128-lane code rows;
+    - shard boundaries land on whole scales tiles (``x_local % r == 0``),
+      so the dim-0 scales shard is the matching tile-grouped storage.
+
+    Used by BOTH the sharding rule (``parallel.sharding.
+    train_state_fsdp_sharding``) and the optimizer's update dispatch, so
+    placement and execution can never disagree."""
+    if k <= 1 or not param_shape:
+        return False
+    if len(codes_shape) != 2 or codes_shape[1] != 128:
+        return False  # not the dense layout
+    d0 = param_shape[0]
+    if d0 % k or d0 < 2 * k:
+        return False
+    rest = 1
+    for s in param_shape[1:]:
+        rest *= s
+    n_local = (d0 // k) * rest
+    if n_local % 128:
+        return False
+    srows, r = scales_shape
+    if srows == 1 or r == 1:
+        return False  # transposed / narrow layouts
+    x_local = n_local // 128
+    if x_local % r or srows % k:
+        return False
+    return True
+
+
 def momentum_to_reference_layout(node):
     """Map a quantized momentum leaf (any layout) to the reference's
     ``(n_blocks, block_size)`` codes + ``(n_blocks, 1)`` scales view."""
@@ -162,6 +233,7 @@ def scale_by_lion_8bit(
     block_size: Optional[int] = 16,
     excluded_layer_mask: Optional[Any] = None,
     use_pallas: Optional[bool] = None,
+    dense_fsdp_factor: int = 1,
 ) -> optax.GradientTransformation:
     """Lion update direction with int8 block-quantized momentum.
 
@@ -172,6 +244,12 @@ def scale_by_lion_8bit(
     ``use_pallas``: route quantized leaves through the fused single-pass
     Pallas kernel (``ops.lion_kernel``; identical numerics). ``None`` = auto
     (on when the default backend is TPU).
+
+    ``dense_fsdp_factor``: the fsdp mesh-axis size the states will be
+    sharded over (1 = no FSDP). Dense scales tiles are sized so even dim-0
+    shard boundaries land on whole tiles (``dense_tile_rows`` divisor) —
+    required for the shard_map'd fused kernel under FSDP. A pure storage
+    re-grouping: values and block membership are unchanged.
     """
     mu_scale_dtype = jax.dtypes.canonicalize_dtype(mu_scale_dtype)
 
@@ -184,9 +262,15 @@ def scale_by_lion_8bit(
     def _dequantize(q: chex.Array) -> chex.Array:
         return ((q / 127) ** 5).astype(mu_scale_dtype) - _ZERO_CROSSING_OFFSET
 
-    def _block_quantize(leaf: chex.Array, dense: Optional[bool] = None):
+    def _block_quantize(
+        leaf: chex.Array,
+        dense: Optional[bool] = None,
+        dense_r: Optional[int] = None,
+    ):
         # requantization must stay in the layout the incoming state uses
-        # (update_fn passes it); init-time callers omit it -> predicate
+        # (update_fn passes it, incl. the storage's own tile height so a
+        # non-canonical FSDP-aligned grouping round-trips shape-stable);
+        # init-time callers omit them -> predicate + build-time grouping
         if dense is None:
             dense = _dense_ok(leaf.size, block_size)
         if dense:
@@ -201,7 +285,13 @@ def scale_by_lion_8bit(
                 absmax,
             )
             codes = _quantize(blocks * scales[:, None]).reshape(-1, 128)
-            return codes, _scales_flat_to_dense(scales, leaf.size // 128, gpr)
+            if dense_r is None:
+                dense_r = dense_tile_rows(
+                    leaf.size // 128, divisor=dense_fsdp_factor
+                )
+            return codes, _scales_flat_to_dense(
+                scales, leaf.size // 128, gpr, r=dense_r
+            )
         # block-transposed: (block_size, n_blocks), scales (1, n_blocks)
         blocks = leaf.reshape(-1, block_size).T
         absmax = jnp.max(jnp.abs(blocks), axis=0, keepdims=True)
@@ -252,7 +342,7 @@ def scale_by_lion_8bit(
             if _dense_ok(leaf.size, block_size):
                 x = leaf.size // 128
                 gpr = 128 // block_size
-                r = dense_tile_rows(x)
+                r = dense_tile_rows(x, divisor=dense_fsdp_factor)
                 return (
                     jnp.full((x, 128), zero_code, jnp.int8),
                     jnp.ones((gpr * x // r, r), mu_scale_dtype),
@@ -269,6 +359,24 @@ def scale_by_lion_8bit(
             mu_quant_flag=mask,
         )
 
+    def _jnp_leaf(g, m, shape):
+        """One leaf of the jnp (XLA-fused, GSPMD-partitionable) update:
+        returns (update_direction, new_momentum)."""
+        if not _is_quantized(m):
+            return (
+                jnp.sign((1.0 - b1) * g + b1 * m),
+                (1 - b2) * g + b2 * m,
+            )
+        dense = _is_dense(*m)
+        mu = _block_dequantize(shape, *m)
+        upd = jnp.sign((1.0 - b1) * g + b1 * mu)
+        new_m = _block_quantize(
+            (1 - b2) * g + b2 * mu,
+            dense=dense,
+            dense_r=m[1].shape[1] if dense else None,
+        )
+        return upd, new_m
+
     def update_fn(updates, state, params=None):
         del params
         shapes = _shape_tree(updates)
@@ -282,6 +390,28 @@ def scale_by_lion_8bit(
                 fused_lion8bit_update_transposed,
             )
 
+            def _fused_fsdp_dense(g, codes, scales, mesh, axis):
+                # each device's dim-0 shard is itself a valid dense layout
+                # (see set_lion_fsdp_mesh) -> run the unmodified kernel on
+                # the local block inside shard_map: zero collectives
+                from jax.sharding import PartitionSpec as P
+
+                gspec = P(axis, *([None] * (g.ndim - 1)))
+                mspec = P(axis, None)
+                local = functools.partial(
+                    fused_lion8bit_update_dense,
+                    b1=b1, b2=b2, mu_scale_dtype=mu_scale_dtype,
+                )
+                upd, new_codes, new_scales = jax.shard_map(
+                    local,
+                    mesh=mesh,
+                    in_specs=(gspec, mspec, mspec),
+                    out_specs=(gspec, mspec, mspec),
+                    # pallas_call out_shapes carry no varying-mesh-axes info
+                    check_vma=False,
+                )(g, codes, scales)
+                return upd, (new_codes, new_scales)
+
             def _fused(g, m, shape):
                 if not _is_quantized(m):
                     return (
@@ -289,6 +419,21 @@ def scale_by_lion_8bit(
                         (1 - b2) * g + b2 * m,
                     )
                 codes, scales = m
+                ctx = _LION_FSDP_MESH
+                if ctx is not None:
+                    mesh, axis = ctx
+                    k = dict(
+                        zip(mesh.axis_names, mesh.devices.shape)
+                    ).get(axis, 1)
+                    if fsdp_dense_eligible(
+                        g.shape, codes.shape, scales.shape, k
+                    ):
+                        return _fused_fsdp_dense(g, codes, scales, mesh, axis)
+                    # FSDP-sharded but shard-misaligned (conv kernels whose
+                    # dim 0 is 3, transposed-layout leaves, ...): the
+                    # unpartitioned kernel would force GSPMD to all-gather
+                    # the leaf — the jnp math partitions elementwise instead
+                    return _jnp_leaf(g, m, shape)
                 fused_update = (
                     fused_lion8bit_update_dense
                     if _is_dense(codes, scales)
@@ -315,34 +460,17 @@ def scale_by_lion_8bit(
                 mu_quant_flag=state.mu_quant_flag,
             )
 
-        # update direction: sign of the b1-interpolation of grad and momentum.
-        # `updates` (first arg) defines the tree structure, so the (int8, scales)
-        # tuples inside mu_quant arrive at the lambda whole.
-        updates_new = jax.tree_util.tree_map(
-            lambda g, m, shape: (
-                jnp.sign((1.0 - b1) * g + b1 * _block_dequantize(shape, *m))
-                if _is_quantized(m)
-                else jnp.sign((1.0 - b1) * g + b1 * m)
-            ),
-            updates,
-            state.mu_quant,
-            shapes,
+        # jnp path: sign of the b1-interpolation + b2-EMA requantization,
+        # one tree_map over _jnp_leaf (XLA CSEs the shared dequantize).
+        # `updates` (first arg) defines the tree structure, so the
+        # (int8, scales) tuples inside mu_quant arrive at the lambda whole.
+        fused = jax.tree_util.tree_map(
+            _jnp_leaf, updates, state.mu_quant, shapes
         )
-
-        # new momentum: b2 EMA of grads, requantized where flagged
-        mu_quant = jax.tree_util.tree_map(
-            lambda g, m, shape: (
-                _block_quantize(
-                    (1 - b2) * g + b2 * _block_dequantize(shape, *m),
-                    dense=_is_dense(*m),
-                )
-                if _is_quantized(m)
-                else (1 - b2) * g + b2 * m
-            ),
-            updates,
-            state.mu_quant,
-            shapes,
-        )
+        treedef = jax.tree_util.tree_structure(updates)
+        pairs = treedef.flatten_up_to(fused)
+        updates_new = treedef.unflatten([p[0] for p in pairs])
+        mu_quant = treedef.unflatten([p[1] for p in pairs])
         count_inc = optax.safe_int32_increment(state.count)
         return updates_new, ScaleBy8bitLionState(
             count=count_inc, mu_quant=mu_quant, mu_quant_flag=state.mu_quant_flag
@@ -361,6 +489,7 @@ def lion_8bit(
     mask: Optional[Union[Any, Callable]] = None,
     excluded_layer_mask: Optional[Any] = None,
     use_pallas: Optional[bool] = None,
+    dense_fsdp_factor: int = 1,
 ) -> optax.GradientTransformation:
     """Lion with int8 momentum: quantized-Lion -> decoupled weight decay -> lr.
 
@@ -377,10 +506,23 @@ def lion_8bit(
             block_size=block_size,
             excluded_layer_mask=excluded_layer_mask,
             use_pallas=use_pallas,
+            dense_fsdp_factor=dense_fsdp_factor,
         ),
         optax.add_decayed_weights(weight_decay, mask),
         optax.scale_by_learning_rate(learning_rate),
     )
+
+
+def momentum_dense_retile(node, r_new: int):
+    """Re-group a DENSE momentum leaf's scales to tile height ``r_new``
+    (pure storage relayout, values exact). Needed when restoring a
+    checkpoint across ``dense_fsdp_factor`` settings: the codes are layout-
+    identical, only the scales tile grouping differs."""
+    codes, scales = node
+    x = codes.shape[0]
+    gpr = scales.shape[0] * scales.shape[1] // x
+    flat = _scales_dense_to_flat(scales, x)
+    return (codes, _scales_flat_to_dense(flat, x, gpr, r=r_new))
 
 
 def momentum_to_canonical_layout(node):

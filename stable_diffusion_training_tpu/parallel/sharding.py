@@ -60,6 +60,74 @@ def params_fsdp_sharding(tree: Any, mesh: Mesh, axis: str = "fsdp"):
     )
 
 
+def train_state_fsdp_sharding(state, mesh: Mesh, axis: str = "fsdp"):
+    """FSDP shardings for a full TrainState, with param + quantized-momentum
+    leaves CO-SHARDED dim-0 wherever the fused Pallas Lion can run
+    shard_map'd (``optim.lion8bit.fsdp_dense_eligible`` — the same predicate
+    the optimizer's update dispatch uses, so placement and execution agree
+    by construction). For such a leaf the param/grad shard is a contiguous
+    flat range, the dense codes shard is the matching row range, and the
+    tile-grouped scales shard the matching tile range — each device holds a
+    self-contained dense layout and the kernel needs zero collectives.
+    Everything else follows the generic largest-divisible-dim rule."""
+    generic = params_fsdp_sharding(state, mesh, axis)
+    n = _axis_size(mesh, axis)
+    if n <= 1 or not hasattr(state, "params"):
+        return generic
+    from ..optim import lion8bit as l8
+
+    def _is_lion(node):
+        return isinstance(node, l8.ScaleBy8bitLionState)
+
+    lions = [
+        x
+        for x in jax.tree_util.tree_leaves(state.opt_state, is_leaf=_is_lion)
+        if _is_lion(x)
+    ]
+    if not lions:
+        return generic
+
+    mu = lions[0].mu_quant
+
+    def _eligible(param, m):
+        return l8._is_quantized(m) and l8.fsdp_dense_eligible(
+            param.shape, m[0].shape, m[1].shape, n
+        )
+
+    def _dim0(leaf):
+        return NamedSharding(
+            mesh, PartitionSpec(axis, *([None] * (leaf.ndim - 1)))
+        )
+
+    params_sh = jax.tree_util.tree_map(
+        lambda p, m: _dim0(p)
+        if _eligible(p, m)
+        else params_fsdp_sharding(p, mesh, axis),
+        state.params,
+        mu,
+    )
+
+    def _mu_sh(p, m):
+        if _eligible(p, m):
+            s = NamedSharding(mesh, PartitionSpec(axis, None))
+            return (s, s)
+        return params_fsdp_sharding(m, mesh, axis)
+
+    def _opt_node(node):
+        if not _is_lion(node):
+            return params_fsdp_sharding(node, mesh, axis)
+        return l8.ScaleBy8bitLionState(
+            count=NamedSharding(mesh, PartitionSpec()),
+            mu_quant=jax.tree_util.tree_map(_mu_sh, state.params, node.mu_quant),
+            mu_quant_flag=params_fsdp_sharding(node.mu_quant_flag, mesh, axis),
+        )
+
+    opt_sh = jax.tree_util.tree_map(
+        _opt_node, state.opt_state, is_leaf=_is_lion
+    )
+    return generic.replace(params=params_sh, opt_state=opt_sh)
+
+
 _TP_COLUMN = ("to_q", "to_k", "to_v", "q_proj", "k_proj", "v_proj", "mlp_fc1")
 _TP_ROW = ("to_out", "out_proj", "mlp_fc2")
 _TP_GEGLU = ("net_0",)  # GEGLU proj: output axis, but split in (value, gate)

@@ -167,7 +167,11 @@ def restore_train_state(directory: str, template: Dict[str, Any]) -> Dict[str, A
     block-TRANSPOSED, see ``optim.lion8bit``) restore through a legacy
     template and are migrated in place — a pure relayout, values exact."""
     directory = os.path.abspath(directory)
-    from ..optim.lion8bit import momentum_to_canonical_layout
+    from ..optim.lion8bit import (
+        _is_dense,
+        momentum_dense_retile,
+        momentum_to_canonical_layout,
+    )
 
     restored = _checkpointer().restore(
         directory, item=jax.tree_util.tree_map(lambda x: x, template)
@@ -193,6 +197,16 @@ def restore_train_state(directory: str, template: Dict[str, Any]) -> Dict[str, A
         if all(n.shape == t.shape for n, t in zip(node, like)):
             return node
         canonical = momentum_to_canonical_layout(node)
+        if (
+            any(c.shape != t.shape for c, t in zip(canonical, like))
+            and _is_dense(*canonical)
+            and _is_dense(*like)
+            and canonical[0].shape == like[0].shape
+        ):
+            # dense either side with matching codes: only the scales tile
+            # grouping differs (dense_fsdp_factor changed between the run
+            # that wrote the checkpoint and this one) — pure re-tile
+            canonical = momentum_dense_retile(canonical, like[1].shape[1])
         if any(c.shape != t.shape for c, t in zip(canonical, like)):
             raise ValueError(
                 "checkpoint momentum leaf has shapes "

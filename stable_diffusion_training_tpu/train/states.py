@@ -221,6 +221,7 @@ def create_lion_optimizer_states(
     lr_scheduler: str = "constant",
     lr_warmup_steps: int = 0,
     lr_decay_steps: int = 0,
+    dense_fsdp_factor: int = 1,
 ) -> dict:
     """Build clip(1) -> Lion(8-bit or dense) TrainStates on CPU.
 
@@ -259,6 +260,7 @@ def create_lion_optimizer_states(
                 block_size=lion_8bit_block_size,
                 excluded_layer_mask=quant_mask,
                 use_pallas=use_pallas_lion,
+                dense_fsdp_factor=dense_fsdp_factor,
             )
         else:
             lion = optax.lion(
@@ -307,6 +309,12 @@ def _state_sharding(tree, mesh: Mesh, fsdp: bool, tp: bool = False):
         return jax.tree_util.tree_map(
             lambda _: NamedSharding(mesh, PartitionSpec()), tree
         )
+    if hasattr(tree, "params"):
+        # co-shard params + quantized momentum dim-0 where the fused Lion
+        # kernel can run shard_map'd (parallel.sharding docstring)
+        from ..parallel.sharding import train_state_fsdp_sharding
+
+        return train_state_fsdp_sharding(tree, mesh)
     return params_fsdp_sharding(tree, mesh)
 
 
@@ -329,10 +337,14 @@ def on_device_model_training_state(
     #   inside shard_map, manual over the batch (dp) and head (tp) axes —
     #   head-local/batch-local kernels, zero collectives (tested by
     #   tests/test_parallel.py::test_tp_flash_attention_no_allgather);
-    # - fused Lion: params/grads sharded under FSDP/TP don't align with the
-    #   kernel's flat block layout, so GSPMD would all-gather every leaf;
-    #   default to the XLA-fused jnp path, which GSPMD partitions elementwise
-    #   (explicit use_pallas_lion=True overrides).
+    # - fused Lion: under FSDP the dense momentum layout shards dim-0 in
+    #   lockstep with the param (parallel.sharding.train_state_fsdp_sharding)
+    #   and eligible leaves run the kernel inside shard_map with zero
+    #   collectives (optim.lion8bit.set_lion_fsdp_mesh); shard-misaligned
+    #   leaves and all leaves under TP (whose Megatron param specs don't
+    #   match the flat block layout) take the XLA-fused jnp path, which
+    #   GSPMD partitions elementwise.
+    from ..optim.lion8bit import set_lion_fsdp_mesh
     from ..ops.attention import set_attention_mesh
 
     mesh_sizes = dict(mesh.shape)
@@ -343,9 +355,11 @@ def on_device_model_training_state(
         set_attention_mesh(mesh)
     else:
         set_attention_mesh(None)  # idempotent across runs in one process
+    set_lion_fsdp_mesh(mesh if (fsdp and not tp) else None)
     use_pallas_lion = training_config.use_pallas_lion
-    if use_pallas_lion is None and (fsdp or tp):
+    if use_pallas_lion is None and tp:
         use_pallas_lion = False
+    dense_fsdp_factor = mesh_sizes.get("fsdp", 1) if fsdp else 1
 
     models = load_models(training_config=training_config)
     # the reference hardcodes scale 7 and drops the configured LRs
@@ -377,6 +391,7 @@ def on_device_model_training_state(
         quantize_unet_state=training_config.quantize_unet_state,
         quantize_text_encoder_state=training_config.quantize_text_encoder_state,
         use_pallas_lion=use_pallas_lion,
+        dense_fsdp_factor=dense_fsdp_factor,
     )
     if not training_config.train_text_encoder:
         # frozen text encoder (SDXL-scale runs, BASELINE config 5): keep the

@@ -162,7 +162,7 @@ def _tiny_tp_config(tp: bool, attention_backend: str = "auto"):
     )
 
 
-def _one_tp_step(mesh, tp: bool, attention_backend: str = "auto"):
+def _one_tp_step(mesh, tp: bool, attention_backend: str = "auto", cfg=None):
     from jax.sharding import NamedSharding
 
     from stable_diffusion_training_tpu.data.memory import synthetic_batch
@@ -171,7 +171,7 @@ def _one_tp_step(mesh, tp: bool, attention_backend: str = "auto"):
         train_step,
     )
 
-    cfg = _tiny_tp_config(tp, attention_backend)
+    cfg = cfg or _tiny_tp_config(tp, attention_backend)
     (unet_state, te_state, _, _, frozen_vae, frozen_sched, _) = (
         on_device_model_training_state(cfg, mesh=mesh)
     )
@@ -521,3 +521,156 @@ def _one_tp_step_lowered(mesh, tp, attention_backend, disable_ctx=False):
     hlo = step.lower(*args, **static).compile().as_text()
     out = step(*args, **static)
     return out[0], float(out[4]["loss"]), hlo
+
+
+class TestFSDPFusedLion:
+    """shard_map'd fused dense Lion under FSDP (ROADMAP round-3 item 3):
+    eligible quantized leaves run the Pallas kernel on each device's local
+    dim-0 shard with zero collectives, bitwise-equal to the jnp path;
+    placement (train_state_fsdp_sharding) and execution (update_fn dispatch)
+    share the fsdp_dense_eligible predicate."""
+
+    @pytest.fixture(autouse=True)
+    def _reset_lion_mesh(self):
+        from stable_diffusion_training_tpu.optim.lion8bit import (
+            set_lion_fsdp_mesh,
+        )
+
+        yield
+        set_lion_fsdp_mesh(None)
+
+    def test_fsdp_dense_eligibility(self, fsdp_mesh):
+        from stable_diffusion_training_tpu.optim.lion8bit import (
+            fsdp_dense_eligible,
+        )
+
+        # (32, 512) with dense_fsdp_factor=4: r=32 divides x_local=32
+        assert fsdp_dense_eligible((32, 512), (128, 128), (32, 32), 4)
+        # conv-style dim0=3: not evenly dim-0 shardable
+        assert not fsdp_dense_eligible((3, 3, 64, 64), (288, 128), (72, 32), 4)
+        # transposed layout (scales (1, nb)) never eligible
+        assert not fsdp_dense_eligible((32, 16), (16, 32), (1, 32), 4)
+        # canonical (factor-1) tiling misaligned with the shard boundary
+        assert not fsdp_dense_eligible((32, 512), (128, 128), (8, 128), 4)
+
+    def test_train_state_fsdp_sharding_coshards_param_and_momentum(
+        self, fsdp_mesh
+    ):
+        from flax.training import train_state
+
+        from stable_diffusion_training_tpu.optim import lion_8bit
+        from stable_diffusion_training_tpu.parallel.sharding import (
+            train_state_fsdp_sharding,
+        )
+
+        params = {
+            "w": jnp.zeros((32, 512)),          # fused-eligible
+            "conv": jnp.zeros((3, 3, 8, 8)),    # dim0=3 -> generic rule
+        }
+        tx = lion_8bit(
+            1e-2, block_size=16, excluded_layer_mask=True,
+            dense_fsdp_factor=4,
+        )
+        state = train_state.TrainState.create(
+            apply_fn=None, params=params, tx=tx
+        )
+        sh = train_state_fsdp_sharding(state, fsdp_mesh)
+        assert sh.params["w"].spec == PartitionSpec("fsdp", None)
+        mu_w = sh.opt_state[0].mu_quant["w"]
+        assert mu_w[0].spec == PartitionSpec("fsdp", None)
+        assert mu_w[1].spec == PartitionSpec("fsdp", None)
+        # ineligible leaf keeps the generic largest-divisible-dim rule
+        assert sh.params["conv"].spec == PartitionSpec(None, None, "fsdp", None)
+        # placement actually materializes (shapes divide correctly)
+        placed = jax.tree_util.tree_map(
+            lambda leaf, s: jax.device_put(leaf, s), state, sh
+        )
+        assert placed.params["w"].sharding.spec == PartitionSpec("fsdp", None)
+
+    def test_fsdp_fused_lion_bitwise_parity_and_no_collectives(
+        self, fsdp_mesh
+    ):
+        """Two sharded Pallas update steps == two replicated jnp steps,
+        bitwise; the sharded program contains zero collectives."""
+        from jax.sharding import NamedSharding
+
+        from stable_diffusion_training_tpu.optim.lion8bit import (
+            scale_by_lion_8bit,
+            set_lion_fsdp_mesh,
+        )
+
+        rs = np.random.RandomState(0)
+        params = {"w": jnp.asarray(rs.randn(32, 512).astype(np.float32))}
+        g1 = {"w": jnp.asarray(rs.randn(32, 512).astype(np.float32))}
+        g2 = {"w": jnp.asarray(rs.randn(32, 512).astype(np.float32))}
+
+        tx_jnp = scale_by_lion_8bit(
+            block_size=16, excluded_layer_mask=True, use_pallas=False,
+            dense_fsdp_factor=4,
+        )
+        ref_state = tx_jnp.init(params)
+        ref_u1, ref_state = tx_jnp.update(g1, ref_state)
+        ref_u2, ref_state = tx_jnp.update(g2, ref_state)
+
+        set_lion_fsdp_mesh(fsdp_mesh)
+        tx = scale_by_lion_8bit(
+            block_size=16, excluded_layer_mask=True, use_pallas=True,
+            dense_fsdp_factor=4,
+        )
+        state = tx.init(params)
+        spec = NamedSharding(fsdp_mesh, PartitionSpec("fsdp", None))
+        put = lambda t: jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, spec)
+            if getattr(x, "ndim", 0) == 2
+            else x,
+            t,
+        )
+        state = state._replace(mu_quant=put(state.mu_quant))
+        update = jax.jit(tx.update)
+        hlo = update.lower(put(g1), state).compile().as_text()
+        for coll in (
+            "all-gather", "all-reduce", "collective-permute", "all-to-all"
+        ):
+            assert coll not in hlo, f"sharded fused Lion emitted {coll}"
+        u1, state = update(put(g1), state)
+        u2, state = update(put(g2), state)
+
+        np.testing.assert_array_equal(np.asarray(u1["w"]), np.asarray(ref_u1["w"]))
+        np.testing.assert_array_equal(np.asarray(u2["w"]), np.asarray(ref_u2["w"]))
+        np.testing.assert_array_equal(
+            np.asarray(state.mu_quant["w"][0]),
+            np.asarray(ref_state.mu_quant["w"][0]),
+        )
+        # updates + codes bitwise; scales at 1e-6 rtol — XLA:CPU fuses the
+        # momentum FMA differently across compilation instances (same
+        # convention as tests/test_lion_kernel.py; on TPU both paths are
+        # bitwise per the round-3 on-chip A/Bs)
+        np.testing.assert_allclose(
+            np.asarray(state.mu_quant["w"][1]),
+            np.asarray(ref_state.mu_quant["w"][1]),
+            rtol=1e-6,
+        )
+
+    @pytest.mark.slow  # two full fused-step compiles on the 2x4 virtual mesh
+    def test_fsdp_train_step_pallas_matches_jnp(self, cpu_devices):
+        """Full FSDP train step with the shard_map'd Pallas optimizer
+        produces the same updated params as the GSPMD jnp path."""
+        mesh = mesh_lib.create_mesh(
+            shape=(2, 4), axis_names=("data_parallel", "fsdp")
+        )
+
+        def run(use_pallas):
+            cfg = _tiny_tp_config(tp=False)
+            cfg.fsdp_shard_params = True
+            cfg.use_pallas_lion = use_pallas
+            return _one_tp_step(mesh, tp=False, cfg=cfg)
+
+        state_pallas, loss_pallas = run(True)
+        state_jnp, loss_jnp = run(False)
+        assert np.isfinite(loss_pallas)
+        assert loss_pallas == loss_jnp
+        for a, b in zip(
+            jax.tree.leaves(state_pallas.params),
+            jax.tree.leaves(state_jnp.params),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
