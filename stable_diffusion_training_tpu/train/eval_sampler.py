@@ -15,7 +15,11 @@ Config keys (all optional, in the raw config dict):
   loss.csv);
 - ``eval_num_inference_steps`` (default 20), ``eval_guidance_scale``
   (default 7.5), ``eval_sample_resolution`` (default: the UNet's native
-  ``sample_size * 8``).
+  ``sample_size * 8``);
+- refiner runs (``sdxl_time_ids_count != 6``) have no text-to-image path;
+  instead ``eval_sample_images`` (image paths or a directory) enables
+  img2img eval — the live UNet re-refines the fixed base images each
+  interval, with ``eval_refine_strength`` (default 0.3) picking the window.
 
 Images are denoised with the same DDIM scaled_linear/v_prediction
 configuration the checkpoints embed (``train/checkpoint.py:80-88``), from
@@ -69,18 +73,57 @@ class EvalSampler:
 
         unet = model_object_dict["unet"]
         self._te2_params = None
+        self._img2img = False
+        self._init_image = None
         addition_embed = getattr(
             getattr(unet, "config", None), "addition_embed_type", None
         ) or getattr(unet, "addition_embed_type", None)
         if addition_embed == "text_time":
             if int(config_dict.get("sdxl_time_ids_count", 6)) != 6:
-                # refiner UNet (5 aesthetic-score time ids): img2img only —
-                # there is no from-noise eval to sample; disable cleanly
-                print(
-                    "eval sampling disabled: refiner-style UNet "
-                    "(sdxl_time_ids_count != 6) has no text-to-image path"
+                # refiner UNet (5 aesthetic-score time ids): no from-noise
+                # text-to-image path exists, but the img2img refine loop can
+                # still be evaluated in-loop against fixed base images
+                # supplied via ``eval_sample_images`` (file paths or a
+                # directory; ``eval_refine_strength`` picks the window)
+                images_cfg = config_dict.get("eval_sample_images")
+                if not images_cfg:
+                    print(
+                        "eval sampling disabled: refiner-style UNet "
+                        "(sdxl_time_ids_count != 6) has no text-to-image "
+                        "path; set eval_sample_images for img2img eval"
+                    )
+                    self.interval = 0
+                    return
+                from ..pipeline import StableDiffusionXLImg2ImgPipeline
+
+                te2, te2_params, tokenizer_2 = self._load_text_encoder_2(
+                    config_dict
                 )
-                self.interval = 0
+                if te2 is None:
+                    print(
+                        "eval sampling disabled: refiner UNet but no "
+                        "text_encoder_2 found"
+                    )
+                    self.interval = 0
+                    return
+                self._te2_params = jax.device_put(te2_params)
+                self._refine_strength = float(
+                    config_dict.get("eval_refine_strength", 0.3)
+                )
+                self._init_image = self._load_eval_images(
+                    images_cfg, self.resolution
+                )
+                self._pipe = StableDiffusionXLImg2ImgPipeline(
+                    tokenizer,
+                    tokenizer_2,
+                    None,  # refiner conditions on the second tower only
+                    te2,
+                    model_object_dict["vae"],
+                    unet,
+                    scheduler,
+                )
+                self._img2img = True
+                self._finish_prompts(config_dict, tokenizer)
                 return
             # SDXL (BASELINE config 5): the UNet needs TE2's pooled embeds +
             # time_ids, but training keeps TE2 out of the live state (frozen
@@ -118,6 +161,9 @@ class EvalSampler:
                 scheduler,
             )
 
+        self._finish_prompts(config_dict, tokenizer)
+
+    def _finish_prompts(self, config_dict, tokenizer):
         prompts = config_dict.get("eval_sample_prompts")
         prompt_ids = config_dict.get("eval_sample_prompt_ids")
         if prompt_ids is not None:
@@ -135,6 +181,41 @@ class EvalSampler:
             # no tokenizer to build the unconditional branch: reuse an
             # all-pad row (id 0) as the negative prompt
             self._neg_ids = np.zeros_like(self._prompt_ids)
+        if self._init_image is not None:
+            # one base image per prompt row: tile/truncate to match
+            b = self._prompt_ids.shape[0]
+            img = self._init_image
+            if img.shape[0] < b:
+                reps = -(-b // img.shape[0])
+                img = np.tile(img, (reps, 1, 1, 1))
+            self._init_image = jax.device_put(img[:b])
+
+    @staticmethod
+    def _load_eval_images(images_cfg, resolution=None):
+        """Load the img2img eval base images (NCHW float32 in [-1, 1]).
+        ``images_cfg``: list of image file paths or a directory of images;
+        resized to ``resolution`` when set (else must share one size)."""
+        from ..pipeline import prepare_image
+
+        if isinstance(images_cfg, str):
+            paths = sorted(
+                os.path.join(images_cfg, f)
+                for f in os.listdir(images_cfg)
+                if f.lower().endswith((".png", ".jpg", ".jpeg", ".webp"))
+            )
+        else:
+            paths = list(images_cfg)
+        if not paths:
+            raise ValueError(f"eval_sample_images matched no files: {images_cfg!r}")
+        from PIL import Image
+
+        arrays = []
+        for p in paths:
+            im = Image.open(p).convert("RGB")
+            if resolution:
+                im = im.resize((int(resolution), int(resolution)))
+            arrays.append(np.asarray(prepare_image(im))[0])
+        return np.stack(arrays)
 
     @staticmethod
     def _load_text_encoder_2(config_dict):
@@ -204,20 +285,36 @@ class EvalSampler:
         }
         if self._te2_params is not None:
             params["text_encoder_2"] = self._te2_params
-        kwargs = {}
-        if self.resolution:
-            kwargs["height"] = kwargs["width"] = int(self.resolution)
-        images = self._pipe(
-            self._prompt_ids,
-            params,
-            sample_rng,
-            num_inference_steps=self.num_steps,
-            guidance_scale=self.guidance,
-            neg_prompt_ids=self._neg_ids,
-            jit=True,  # cached GSPMD program; first call pays the compile
-            return_dict=False,
-            **kwargs,
-        )[0]
+        if self._img2img:
+            # refiner eval: re-refine the fixed base images with the live
+            # UNet (the trained model); TE2 is the eval-only frozen tower
+            images = self._pipe(
+                self._prompt_ids,
+                self._init_image,
+                params,
+                sample_rng,
+                strength=self._refine_strength,
+                num_inference_steps=self.num_steps,
+                guidance_scale=self.guidance,
+                neg_prompt_ids=self._neg_ids,
+                jit=True,
+                return_dict=False,
+            )[0]
+        else:
+            kwargs = {}
+            if self.resolution:
+                kwargs["height"] = kwargs["width"] = int(self.resolution)
+            images = self._pipe(
+                self._prompt_ids,
+                params,
+                sample_rng,
+                num_inference_steps=self.num_steps,
+                guidance_scale=self.guidance,
+                neg_prompt_ids=self._neg_ids,
+                jit=True,  # cached GSPMD program; first call pays the compile
+                return_dict=False,
+                **kwargs,
+            )[0]
 
         # multi-host: the generate program runs collectively on every host,
         # but the output may span non-addressable devices — gather it, and
