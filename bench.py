@@ -196,6 +196,12 @@ def _build_config(
             else os.environ.get("BENCH_ATTN", "auto")
         ),
         use_pallas_lion=False if reference_style else None,
+        # BENCH_LION_BUCKET=0 A/Bs the small-leaf bucketing at step level
+        lion_bucket_max_nb=(
+            0
+            if reference_style
+            else int(os.environ.get("BENCH_LION_BUCKET", "0"))
+        ),
         # BENCH_GRAD_CKPT=1 remats the UNet blocks (bigger batches fit HBM);
         # BENCH_FF_REMAT=1 remats only the GEGLU feed-forwards (cheaper)
         gradient_checkpointing=grad_ckpt,
@@ -536,16 +542,19 @@ def main():
 
     # headline leg with a bounded batch-fallback ladder: co-tenant HBM
     # pressure can push the preferred operating point out of memory at
-    # capture time; a smaller live measurement beats no artifact
+    # capture time; a smaller live measurement beats no artifact. Only
+    # SMALLER batches are tried (falling back upward would both contradict
+    # the rationale and silently change the requested operating point).
     opt = None
-    for batch in dict.fromkeys((batch, 12, 8)):
+    ladder = [batch] + [b for b in (12, 8, 4) if b < batch][:2]
+    for batch in ladder:
         try:
             opt = run_leg(family, batch, res, steps, reference_style=False)
             break
         except Exception as exc:
             print(
                 f"# headline leg failed at batch {batch}: "
-                f"{type(exc).__name__}",
+                f"{type(exc).__name__}: {exc}",
                 flush=True,
             )
     if opt is None:

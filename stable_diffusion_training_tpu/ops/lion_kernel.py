@@ -255,8 +255,8 @@ def _lion_kernel_transposed(g_ref, codes_ref, scales_ref, upd_ref,
 _DEFAULT_COLS = 8192
 
 
-def fused_lion8bit_update_transposed(
-    grad: jnp.ndarray,
+def fused_lion8bit_update_transposed_packed(
+    g_t: jnp.ndarray,
     codes_t: jnp.ndarray,
     scales_t: jnp.ndarray,
     b1: float = 0.9,
@@ -265,22 +265,23 @@ def fused_lion8bit_update_transposed(
     cols_per_tile: int = _DEFAULT_COLS,
     interpret: bool = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Fused update for one quantized leaf in the block-TRANSPOSED layout.
+    """Transposed-layout fused update on PRE-TRANSPOSED operands.
 
-    ``grad``: any shape with ``grad.size == codes_t.size``; ``codes_t``:
-    ``(bs, n_blocks)`` int8 (block dim on sublanes, block index on lanes);
-    ``scales_t``: ``(1, n_blocks)``. Returns ``(update_sign, new_codes_t,
-    new_scales_t)`` with ``update_sign`` reshaped to ``grad.shape``.
-    Numerics bitwise-equal to the narrow layout and the jnp path."""
+    ``g_t``: ``(bs, n_blocks)`` grads in the same block-transposed view as
+    ``codes_t``/``scales_t``. Returns ``(upd_t, new_codes_t, new_scales_t)``
+    with ``upd_t`` still ``(bs, n_blocks)``. This is the bucketing entry:
+    the optimizer concatenates many small transposed leaves along the block
+    axis and updates them in ONE kernel dispatch (the round-3 trace counted
+    ~219 per-leaf dispatches carrying only 9%% of the optimizer bytes);
+    block membership per leaf is unchanged, so numerics stay bitwise."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     bs, nb = codes_t.shape
-    g2 = grad.reshape(nb, bs).T  # per-step relayout of the grads (f32)
 
     cols = min(cols_per_tile, nb)
     pad = (-nb) % cols
     if pad:
-        g2 = jnp.pad(g2, ((0, 0), (0, pad)))
+        g_t = jnp.pad(g_t, ((0, 0), (0, pad)))
         codes_t = jnp.pad(codes_t, ((0, 0), (0, pad)))
         scales_t = jnp.pad(scales_t, ((0, 0), (0, pad)), constant_values=1.0)
     nbp = nb + pad
@@ -302,17 +303,43 @@ def fused_lion8bit_update_transposed(
             pl.BlockSpec((1, cols), lambda i: (0, i)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((bs, nbp), grad.dtype),
+            jax.ShapeDtypeStruct((bs, nbp), g_t.dtype),
             jax.ShapeDtypeStruct((bs, nbp), jnp.int8),
             jax.ShapeDtypeStruct((1, nbp), jnp.dtype(mu_scale_dtype)),
         ],
         interpret=interpret,
-    )(g2, codes_t, scales_t)
+    )(g_t, codes_t, scales_t)
 
     if pad:
         upd = upd[:, :nb]
         new_codes = new_codes[:, :nb]
         new_scales = new_scales[:, :nb]
+    return upd, new_codes, new_scales
+
+
+def fused_lion8bit_update_transposed(
+    grad: jnp.ndarray,
+    codes_t: jnp.ndarray,
+    scales_t: jnp.ndarray,
+    b1: float = 0.9,
+    b2: float = 0.99,
+    mu_scale_dtype=jnp.float32,
+    cols_per_tile: int = _DEFAULT_COLS,
+    interpret: bool = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Fused update for one quantized leaf in the block-TRANSPOSED layout.
+
+    ``grad``: any shape with ``grad.size == codes_t.size``; ``codes_t``:
+    ``(bs, n_blocks)`` int8 (block dim on sublanes, block index on lanes);
+    ``scales_t``: ``(1, n_blocks)``. Returns ``(update_sign, new_codes_t,
+    new_scales_t)`` with ``update_sign`` reshaped to ``grad.shape``.
+    Numerics bitwise-equal to the narrow layout and the jnp path."""
+    bs, nb = codes_t.shape
+    g2 = grad.reshape(nb, bs).T  # per-step relayout of the grads (f32)
+    upd, new_codes, new_scales = fused_lion8bit_update_transposed_packed(
+        g2, codes_t, scales_t, b1=b1, b2=b2, mu_scale_dtype=mu_scale_dtype,
+        cols_per_tile=cols_per_tile, interpret=interpret,
+    )
     return upd.T.reshape(grad.shape), new_codes, new_scales
 
 

@@ -105,7 +105,16 @@ def _momentum_layout(codes, scales) -> str:
     - ``"dense"``: scales tile-grouped ``(gpr*x/r, r)`` with both dims
       >= 8 (``r = dense_tile_rows(x)`` is a multiple of 8 and
       ``gpr*x/r >= gpr >= 8``), codes ``(size/128, 128)``.
-    """
+
+    A single-block leaf has ``(1, 1)`` scales in BOTH non-dense layouts;
+    the codes shape disambiguates (narrow ``(1, bs)`` vs transposed
+    ``(bs, 1)``)."""
+    if scales.shape == (1, 1):
+        return (
+            "narrow"
+            if codes.shape[0] == 1 and codes.shape[1] > 1
+            else "transposed"
+        )
     if scales.shape[0] == 1:
         return "transposed"
     if scales.shape[1] == 1:
@@ -159,13 +168,19 @@ def _scales_dense_to_flat(scales_d, x: int):
 _LION_FSDP_MESH = None  # (mesh, axis_name) | None
 
 
+def _mesh_axis_size(mesh, axis: str) -> int:
+    return dict(mesh.shape).get(axis, 1)
+
+
 def set_lion_fsdp_mesh(mesh, axis: str = "fsdp") -> None:
     """Register (or clear, with ``mesh=None``) the mesh context that routes
-    eligible quantized leaves through the shard_map'd fused dense kernel."""
+    eligible quantized leaves through the shard_map'd fused dense kernel.
+
+    The registration is read ONCE, when ``scale_by_lion_8bit`` is
+    constructed — building another state later (with a different or no
+    mesh) cannot silently flip an existing transform's dispatch."""
     global _LION_FSDP_MESH
-    if mesh is None or dict(zip(mesh.axis_names, mesh.devices.shape)).get(
-        axis, 1
-    ) <= 1:
+    if mesh is None or _mesh_axis_size(mesh, axis) <= 1:
         _LION_FSDP_MESH = None
     else:
         _LION_FSDP_MESH = (mesh, axis)
@@ -234,6 +249,7 @@ def scale_by_lion_8bit(
     excluded_layer_mask: Optional[Any] = None,
     use_pallas: Optional[bool] = None,
     dense_fsdp_factor: int = 1,
+    bucket_max_nb: int = 0,
 ) -> optax.GradientTransformation:
     """Lion update direction with int8 block-quantized momentum.
 
@@ -250,8 +266,20 @@ def scale_by_lion_8bit(
     shard boundaries land on whole tiles (``dense_tile_rows`` divisor) —
     required for the shard_map'd fused kernel under FSDP. A pure storage
     re-grouping: values and block membership are unchanged.
+
+    ``bucket_max_nb``: quantized leaves with at most this many quantization
+    blocks are concatenated into ONE fused kernel dispatch per layout
+    instead of one per leaf (the round-3 trace counted ~219 small-leaf
+    dispatches carrying only 9% of the optimizer bytes); 0 disables.
+    Bitwise-identical either way — block membership is per-leaf and
+    unchanged by the concat, and scales move through exact relayouts.
+    Default 0 pending the on-chip A/B (benchmarks/lion_bucket_ab.py):
+    the concat/split copies of bucketed grads/updates cost about as
+    much as the saved dispatch overhead at SD1.5 scale on paper.
     """
     mu_scale_dtype = jax.dtypes.canonicalize_dtype(mu_scale_dtype)
+    # FSDP dispatch context, captured at CONSTRUCTION (see set_lion_fsdp_mesh)
+    fsdp_ctx = _LION_FSDP_MESH
 
     def _quantize(x: chex.Array) -> chex.Array:
         shifted = x + _ZERO_CROSSING_OFFSET
@@ -388,6 +416,7 @@ def scale_by_lion_8bit(
             from ..ops.lion_kernel import (
                 fused_lion8bit_update_dense,
                 fused_lion8bit_update_transposed,
+                fused_lion8bit_update_transposed_packed,
             )
 
             def _fused_fsdp_dense(g, codes, scales, mesh, axis):
@@ -419,12 +448,9 @@ def scale_by_lion_8bit(
                         (1 - b2) * g + b2 * m,
                     )
                 codes, scales = m
-                ctx = _LION_FSDP_MESH
-                if ctx is not None:
-                    mesh, axis = ctx
-                    k = dict(
-                        zip(mesh.axis_names, mesh.devices.shape)
-                    ).get(axis, 1)
+                if fsdp_ctx is not None:
+                    mesh, axis = fsdp_ctx
+                    k = _mesh_axis_size(mesh, axis)
                     if fsdp_dense_eligible(
                         g.shape, codes.shape, scales.shape, k
                     ):
@@ -445,14 +471,115 @@ def scale_by_lion_8bit(
                 )
                 return upd, (new_codes, new_scales)
 
-            fused = jax.tree_util.tree_map(
-                _fused, updates, state.mu_quant, shapes
-            )
-            # unzip the (update, momentum) pairs along the updates treedef
-            treedef = jax.tree_util.tree_structure(updates)
-            pairs = treedef.flatten_up_to(fused)
-            updates_new = treedef.unflatten([p[0] for p in pairs])
-            mu_quant = treedef.unflatten([p[1] for p in pairs])
+            flat_g, treedef = jax.tree_util.tree_flatten(updates)
+            flat_m = treedef.flatten_up_to(state.mu_quant)
+            flat_s = treedef.flatten_up_to(shapes)
+            results = [None] * len(flat_g)
+
+            # small-leaf bucketing: concatenate all small quantized leaves
+            # (per layout / block size) and update them in ONE kernel
+            # dispatch each — the round-3 trace counted ~219 per-leaf
+            # dispatches carrying only 9% of the optimizer bytes; in the
+            # real SD1.5 tree those are almost all small DENSE leaves
+            # (196 of 352 quantized leaves are dense <= 1M elements; only
+            # conv_in/out edges are transposed). Block membership per leaf
+            # is unchanged and scales move through exact relayouts ->
+            # bitwise-identical. The price is concat/split copies of the
+            # bucketed grads/updates; benchmarks/lion_bucket_ab.py decides
+            # the on-chip default. Skipped under FSDP (sharded leaves).
+            if bucket_max_nb and fsdp_ctx is None:
+                t_groups = {}
+                d_group = []
+                for i, m in enumerate(flat_m):
+                    if not _is_quantized(m):
+                        continue
+                    if _is_dense(*m):
+                        x_i = m[0].shape[0]
+                        nb_i = m[1].size
+                        if nb_i <= bucket_max_nb:
+                            d_group.append(i)
+                    else:
+                        bs_i, nb_i = m[0].shape
+                        if nb_i <= bucket_max_nb:
+                            t_groups.setdefault(bs_i, []).append(i)
+
+                for bs_i, idxs in t_groups.items():
+                    if len(idxs) < 2:
+                        continue  # a lone leaf gains nothing from packing
+                    g_t = jnp.concatenate(
+                        [flat_g[i].reshape(-1, bs_i).T for i in idxs], axis=1
+                    )
+                    c_t = jnp.concatenate([flat_m[i][0] for i in idxs], axis=1)
+                    s_t = jnp.concatenate([flat_m[i][1] for i in idxs], axis=1)
+                    upd_t, nc, ns = fused_lion8bit_update_transposed_packed(
+                        g_t, c_t, s_t, b1=b1, b2=b2,
+                        mu_scale_dtype=mu_scale_dtype,
+                    )
+                    off = 0
+                    for i in idxs:
+                        nb_i = flat_m[i][0].shape[1]
+                        sl = slice(off, off + nb_i)
+                        results[i] = (
+                            upd_t[:, sl].T.reshape(flat_g[i].shape),
+                            (nc[:, sl], ns[:, sl]),
+                        )
+                        off += nb_i
+
+                if len(d_group) >= 2:
+                    # dense pack: codes rows concat directly (each leaf's
+                    # (x_i, 128) view is a whole number of rows); per-leaf
+                    # tile-grouped scales go through the flat order and are
+                    # regrouped at the packed width, then back per leaf —
+                    # pure permutations, values exact
+                    gpr = 128 // block_size
+                    xs = [flat_m[i][0].shape[0] for i in d_group]
+                    x_sum = sum(xs)
+                    g_d = jnp.concatenate(
+                        [flat_g[i].reshape(-1, 128) for i in d_group], axis=0
+                    )
+                    c_d = jnp.concatenate(
+                        [flat_m[i][0] for i in d_group], axis=0
+                    )
+                    s_flat = jnp.concatenate(
+                        [
+                            _scales_dense_to_flat(
+                                flat_m[i][1], flat_m[i][0].shape[0]
+                            )
+                            for i in d_group
+                        ]
+                    )
+                    r_pack = dense_tile_rows(x_sum)
+                    s_d = _scales_flat_to_dense(s_flat, x_sum, gpr, r=r_pack)
+                    upd_d, nc_d, ns_d = fused_lion8bit_update_dense(
+                        g_d, c_d, s_d, b1=b1, b2=b2,
+                        mu_scale_dtype=mu_scale_dtype,
+                    )
+                    ns_flat = _scales_dense_to_flat(ns_d, x_sum)
+                    row_off = 0
+                    blk_off = 0
+                    for i, x_i in zip(d_group, xs):
+                        nb_i = x_i * gpr
+                        r_i = flat_m[i][1].shape[1]
+                        results[i] = (
+                            upd_d[row_off:row_off + x_i].reshape(
+                                flat_g[i].shape
+                            ),
+                            (
+                                nc_d[row_off:row_off + x_i],
+                                _scales_flat_to_dense(
+                                    ns_flat[blk_off:blk_off + nb_i],
+                                    x_i, gpr, r=r_i,
+                                ),
+                            ),
+                        )
+                        row_off += x_i
+                        blk_off += nb_i
+
+            for i, r in enumerate(results):
+                if r is None:
+                    results[i] = _fused(flat_g[i], flat_m[i], flat_s[i])
+            updates_new = treedef.unflatten([r[0] for r in results])
+            mu_quant = treedef.unflatten([r[1] for r in results])
             count_inc = optax.safe_int32_increment(state.count)
             return updates_new, ScaleBy8bitLionState(
                 count=count_inc,
@@ -490,6 +617,7 @@ def lion_8bit(
     excluded_layer_mask: Optional[Any] = None,
     use_pallas: Optional[bool] = None,
     dense_fsdp_factor: int = 1,
+    bucket_max_nb: int = 0,
 ) -> optax.GradientTransformation:
     """Lion with int8 momentum: quantized-Lion -> decoupled weight decay -> lr.
 
@@ -507,6 +635,7 @@ def lion_8bit(
             excluded_layer_mask=excluded_layer_mask,
             use_pallas=use_pallas,
             dense_fsdp_factor=dense_fsdp_factor,
+            bucket_max_nb=bucket_max_nb,
         ),
         optax.add_decayed_weights(weight_decay, mask),
         optax.scale_by_learning_rate(learning_rate),

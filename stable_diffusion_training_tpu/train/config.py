@@ -70,6 +70,11 @@ class TrainingConfig:
     # route quantized momentum through the fused Pallas kernel; None = auto
     # (on for TPU backends). False gives the reference-style XLA-fused path.
     use_pallas_lion: Optional[bool] = None
+    # quantized leaves with at most this many blocks update in ONE packed
+    # kernel dispatch per layout (bitwise-identical; 65536 = bucket <=1M-elem
+    # leaves). Default 0 (per-leaf dispatches) pending the on-chip A/B —
+    # benchmarks/lion_bucket_ab.py decides (copies vs dispatch overhead)
+    lion_bucket_max_nb: int = 0
     # the reference ignores the configured learning rates and scale factor
     # (on_device_model_training_state hardcodes scale 7 and the 1e-6 LR
     # defaults — training_utils.py:432-442) and implements only a constant

@@ -164,23 +164,42 @@ class EvalSampler:
         self._finish_prompts(config_dict, tokenizer)
 
     def _finish_prompts(self, config_dict, tokenizer):
+        # refiner checkpoints ship no first-tower tokenizer (diffusers
+        # layout: tokenizer_2 only) — fall back to the pipeline's second
+        # tokenizer so string prompts still work for img2img eval
+        tok = tokenizer or getattr(self._pipe, "tokenizer_2", None)
+
+        def _tokenize(texts):
+            return np.asarray(
+                tok(
+                    list(texts),
+                    padding="max_length",
+                    max_length=tok.model_max_length,
+                    truncation=True,
+                    return_tensors="np",
+                ).input_ids,
+                np.int32,
+            )
+
         prompts = config_dict.get("eval_sample_prompts")
         prompt_ids = config_dict.get("eval_sample_prompt_ids")
         if prompt_ids is not None:
             self._prompt_ids = np.asarray(prompt_ids, np.int32)
-        elif prompts and tokenizer is not None:
-            self._prompt_ids = np.asarray(
-                self._pipe.prepare_inputs(list(prompts)), np.int32
-            )
+        elif prompts and tok is not None:
+            self._prompt_ids = _tokenize(prompts)
         else:
             # nothing to sample from: disable rather than crash mid-run
             self.interval = 0
             self._pipe = None
             return
         if tokenizer is None:
-            # no tokenizer to build the unconditional branch: reuse an
-            # all-pad row (id 0) as the negative prompt
-            self._neg_ids = np.zeros_like(self._prompt_ids)
+            # the pipeline has no first tokenizer to build the
+            # unconditional branch itself: tokenize empty strings with the
+            # second tower's tokenizer, else an all-pad row (id 0)
+            if tok is not None:
+                self._neg_ids = _tokenize([""] * self._prompt_ids.shape[0])
+            else:
+                self._neg_ids = np.zeros_like(self._prompt_ids)
         if self._init_image is not None:
             # one base image per prompt row: tile/truncate to match
             b = self._prompt_ids.shape[0]
@@ -197,12 +216,14 @@ class EvalSampler:
         resized to ``resolution`` when set (else must share one size)."""
         from ..pipeline import prepare_image
 
-        if isinstance(images_cfg, str):
+        if isinstance(images_cfg, str) and os.path.isdir(images_cfg):
             paths = sorted(
                 os.path.join(images_cfg, f)
                 for f in os.listdir(images_cfg)
                 if f.lower().endswith((".png", ".jpg", ".jpeg", ".webp"))
             )
+        elif isinstance(images_cfg, str):
+            paths = [images_cfg]  # a single image file path
         else:
             paths = list(images_cfg)
         if not paths:

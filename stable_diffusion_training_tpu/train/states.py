@@ -222,6 +222,7 @@ def create_lion_optimizer_states(
     lr_warmup_steps: int = 0,
     lr_decay_steps: int = 0,
     dense_fsdp_factor: int = 1,
+    bucket_max_nb: int = 0,
 ) -> dict:
     """Build clip(1) -> Lion(8-bit or dense) TrainStates on CPU.
 
@@ -261,6 +262,7 @@ def create_lion_optimizer_states(
                 excluded_layer_mask=quant_mask,
                 use_pallas=use_pallas_lion,
                 dense_fsdp_factor=dense_fsdp_factor,
+                bucket_max_nb=bucket_max_nb,
             )
         else:
             lion = optax.lion(
@@ -392,6 +394,7 @@ def on_device_model_training_state(
         quantize_text_encoder_state=training_config.quantize_text_encoder_state,
         use_pallas_lion=use_pallas_lion,
         dense_fsdp_factor=dense_fsdp_factor,
+        bucket_max_nb=training_config.lion_bucket_max_nb,
     )
     if not training_config.train_text_encoder:
         # frozen text encoder (SDXL-scale runs, BASELINE config 5): keep the

@@ -198,3 +198,71 @@ def test_narrow_momentum_migrates_to_transposed_when_not_dense_eligible():
     back_codes, back_scales = momentum_to_reference_layout(canon)
     np.testing.assert_array_equal(np.asarray(back_codes), np.asarray(narrow[0]))
     np.testing.assert_array_equal(np.asarray(back_scales), np.asarray(narrow[1]))
+
+
+def test_single_block_narrow_leaf_disambiguates_and_migrates():
+    """A one-block leaf has (1, 1) scales in BOTH non-dense layouts; the
+    codes shape disambiguates (narrow (1, bs) vs transposed (bs, 1)) so
+    legacy narrow checkpoints with block_size-sized leaves still migrate."""
+    from stable_diffusion_training_tpu.optim.lion8bit import (
+        _momentum_layout,
+        momentum_to_canonical_layout,
+        momentum_to_reference_layout,
+    )
+
+    rs = np.random.RandomState(2)
+    codes_n = jnp.asarray(rs.randint(-127, 128, size=(1, 16), dtype=np.int8))
+    scales_n = jnp.asarray(rs.rand(1, 1).astype(np.float32) + 0.5)
+    assert _momentum_layout(codes_n, scales_n) == "narrow"
+    canon = momentum_to_canonical_layout((codes_n, scales_n))
+    assert _momentum_layout(*canon) == "transposed"
+    assert canon[0].shape == (16, 1) and canon[1].shape == (1, 1)
+    back_c, back_s = momentum_to_reference_layout(canon)
+    # reference view of a transposed 1-block leaf is the narrow storage
+    np.testing.assert_array_equal(np.asarray(back_c), np.asarray(codes_n))
+    np.testing.assert_array_equal(np.asarray(back_s), np.asarray(scales_n))
+    # a genuine transposed (bs, 1) leaf keeps its classification
+    assert _momentum_layout(jnp.transpose(codes_n), scales_n) == "transposed"
+
+
+def test_dense_retile_migration_across_fsdp_factor(tmp_path):
+    """A checkpoint written with FSDP-aligned scales tiles
+    (dense_fsdp_factor > 1) restores onto a canonical (factor-1) template
+    and vice versa — the dense->dense re-tile path, values exact."""
+    from flax.training import train_state
+
+    from stable_diffusion_training_tpu.optim import lion_8bit
+
+    params = {"w": jnp.asarray(np.linspace(-1, 1, 2048 * 4, dtype=np.float32)
+                               .reshape(64, 128))}
+    g = {"w": jnp.asarray(
+        np.random.RandomState(13).randn(64, 128).astype(np.float32)
+    )}
+
+    def build(factor):
+        tx = lion_8bit(1e-2, block_size=16, excluded_layer_mask=True,
+                       dense_fsdp_factor=factor)
+        st = train_state.TrainState.create(
+            apply_fn=lambda *a, **k: None, params=params, tx=tx
+        )
+        return st.apply_gradients(grads=g)
+
+    st_fsdp = build(4)   # x=64 -> r=16 tiles (64/4)
+    st_plain = build(1)  # x=64 -> r=64 tiles
+    mu_f = st_fsdp.opt_state[0].mu_quant["w"]
+    mu_p = st_plain.opt_state[0].mu_quant["w"]
+    assert mu_f[1].shape != mu_p[1].shape  # genuinely different groupings
+
+    ckpt_dir = str(tmp_path / "fsdp_state")
+    rng = jax.random.PRNGKey(0)
+    save_train_state(ckpt_dir, st_fsdp, st_fsdp, {}, None, rng)
+    restored = restore_train_state(ckpt_dir, {
+        "unet_state": st_plain,
+        "text_encoder_state": st_plain,
+        "unet_ema_params": {},
+        "text_encoder_ema_params": {},
+        "train_rng": rng,
+    })
+    r_codes, r_scales = restored["unet_state"].opt_state[0].mu_quant["w"]
+    np.testing.assert_array_equal(np.asarray(r_codes), np.asarray(mu_p[0]))
+    np.testing.assert_array_equal(np.asarray(r_scales), np.asarray(mu_p[1]))

@@ -144,3 +144,50 @@ def test_create_mask_path_matching():
     assert mask["down"]["bias"] is False
     assert mask["down"]["kernel"] is True
     assert mask["time_embedding"]["dense"]["kernel"] is False
+
+
+def test_small_leaf_bucketing_bitwise():
+    """Bucketed transposed leaves (one packed kernel dispatch for many
+    small leaves) update bitwise-identically to per-leaf dispatches AND to
+    the jnp path — block membership per leaf is unchanged by the concat."""
+    import numpy as np
+
+    from stable_diffusion_training_tpu.optim.lion8bit import scale_by_lion_8bit
+
+    rs = np.random.RandomState(5)
+    # mixed tree: several small transposed leaves (sizes % 1024 != 0),
+    # several dense leaves with DIFFERENT canonical tile heights (the
+    # dense pack regroups scales at the packed width and back per leaf),
+    # and an excluded (unquantized) leaf
+    params = {
+        "a": jnp.asarray(rs.randn(3, 3, 4, 8).astype(np.float32)),   # 288
+        "b": jnp.asarray(rs.randn(10, 16).astype(np.float32)),       # 160
+        "c": jnp.asarray(rs.randn(48).astype(np.float32)),           # 48
+        "dense": jnp.asarray(rs.randn(8, 128).astype(np.float32)),   # x=8
+        "dense2": jnp.asarray(rs.randn(32, 96).astype(np.float32)),  # x=24
+        "dense3": jnp.asarray(rs.randn(2048).astype(np.float32)),    # x=16
+        "skip": jnp.asarray(rs.randn(5).astype(np.float32)),
+    }
+    mask = {"a": True, "b": True, "c": True, "dense": True,
+            "dense2": True, "dense3": True, "skip": False}
+    g1 = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(rs.randn(*x.shape).astype(np.float32)), params
+    )
+    g2 = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(rs.randn(*x.shape).astype(np.float32)), params
+    )
+
+    def run(**kw):
+        tx = scale_by_lion_8bit(
+            block_size=16, excluded_layer_mask=mask, **kw
+        )
+        s = tx.init(params)
+        u1, s = tx.update(g1, s)
+        u2, s = tx.update(g2, s)
+        return u1, u2, s
+
+    u1b, u2b, sb = run(use_pallas=True, bucket_max_nb=65536)
+    u1p, u2p, sp = run(use_pallas=True, bucket_max_nb=0)
+    for a, b in zip(jax.tree_util.tree_leaves((u1b, u2b, sb.mu_quant)),
+                    jax.tree_util.tree_leaves((u1p, u2p, sp.mu_quant))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
