@@ -1,15 +1,18 @@
-"""Torch-golden numerics at the FULL SD1.5 configuration.
+"""Torch-golden numerics at the FULL model configurations.
 
 The reference's denoiser/VAE ARE diffusers models
 (``/root/reference/training_utils.py:209-222``); block-level parity vs
 hand-assembled torch equivalents is proven in ``test_torch_golden_blocks``.
 This file closes the last environment-reachable rung of that ladder: the
-complete SD1.5-config UNet forward (batch 1, 32x32 latents, f32, CPU) and
-the full SD-VAE encode, against a GENERIC torch assembler parameterized by
-the same config dicts (``models.configs``), with every weight transferred
-through ``hf_io.flax_params_to_torch_state_dict`` under ``strict=True`` —
-so the full 860M-param name/layout mapping is locked against the diffusers
-checkpoint format, not just the per-block subsets. Remaining caveat is only
+complete UNet forwards of ALL THREE real families — SD1.5 (860M, conv
+projections, head-count head_dim), SD2.1 (865M, linear projections,
+d_head=64), SDXL (2.6B, text_time micro-conditioning, transformer depths
+(1,2,10)) — plus the full SD-VAE encode, each at batch 1, 32x32 latents,
+f32, CPU, against a GENERIC torch assembler parameterized by the same
+config dicts (``models.configs``), with every weight transferred through
+``hf_io.flax_params_to_torch_state_dict`` under ``strict=True`` — so the
+full name/layout mappings are locked against the diffusers checkpoint
+format, not just the per-block subsets. Remaining caveat is only
 pretrained-weights parity, which needs diffusers itself (not installable in
 this image).
 """
@@ -83,6 +86,14 @@ class TorchUNet2DCondition(tnn.Module):
                 return self.linear_2(F.silu(self.linear_1(t)))
 
         self.time_embedding = TimeEmbedding(block_out[0], temb_ch)
+        self._add_time_dim = None
+        if cfg.get("addition_embed_type") == "text_time":
+            # SDXL micro-conditioning: sinusoidal(time_ids) ++ pooled text
+            # embeds -> add_embedding MLP, summed into the time embedding
+            self._add_time_dim = cfg["addition_time_embed_dim"]
+            self.add_embedding = TimeEmbedding(
+                cfg["projection_class_embeddings_input_dim"], temb_ch
+            )
 
         class Down(tnn.Module):
             def __init__(self, in_ch, out_ch, cross, heads, depth, downsample):
@@ -218,10 +229,18 @@ class TorchUNet2DCondition(tnn.Module):
         self.conv_norm_out = tnn.GroupNorm(32, block_out[0], eps=1e-5)
         self.conv_out = tnn.Conv2d(block_out[0], cfg["out_channels"], 3, padding=1)
 
-    def forward(self, sample, timesteps, context):
+    def forward(self, sample, timesteps, context, added_cond=None):
         temb = self.time_embedding(
             TorchTinyUNet._time_proj(timesteps, dim=self._time_proj_dim)
         )
+        if self._add_time_dim is not None:
+            text_embeds = added_cond["text_embeds"]
+            time_embeds = TorchTinyUNet._time_proj(
+                added_cond["time_ids"].reshape(-1), dim=self._add_time_dim
+            ).reshape(text_embeds.shape[0], -1)
+            temb = temb + self.add_embedding(
+                torch.cat([text_embeds, time_embeds], dim=-1)
+            )
         x = self.conv_in(sample)
         skips = (x,)
         for block in self.down_blocks:
@@ -363,4 +382,74 @@ def test_sd_full_vae_encode():
     gc.collect()
     with torch.no_grad():
         theirs = quant(enc(torch.tensor(np.asarray(x)))).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=1e-5, rtol=1e-4)
+
+
+def test_sd21_full_unet_forward():
+    """Full SD2.1-config UNet forward (865M params; linear projections,
+    d_head=64 at every scale, 1024-ch context) matches the generic torch
+    assembly — the second real config family, exercising the
+    use_linear_projection and per-level-head paths at full depth."""
+    rng = jax.random.PRNGKey(1)
+    unet = UNet2DConditionModel(**configs.SD21_UNET)
+    params = unet.init(rng, batch_size=1, height=32, width=32)
+
+    tm = TorchUNet2DCondition(configs.SD21_UNET)
+    tm.load_state_dict(_to_torch_sd(params), strict=True)
+    tm.eval()
+
+    sample = jax.random.normal(jax.random.fold_in(rng, 1), (1, 4, 32, 32))
+    ctx = jax.random.normal(jax.random.fold_in(rng, 2), (1, 77, 1024)) * 0.3
+    t = jnp.array([77])
+
+    ours = np.asarray(unet.apply(params, sample, t, ctx))
+    del params, unet
+    gc.collect()
+    with torch.no_grad():
+        theirs = tm(
+            torch.tensor(np.asarray(sample)),
+            torch.tensor(np.asarray(t)),
+            torch.tensor(np.asarray(ctx)),
+        ).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=1e-5, rtol=1e-4)
+
+
+def test_sdxl_full_unet_forward():
+    """Full SDXL-config UNet forward (2.6B params; text_time
+    micro-conditioning, transformer depths (1,2,10), 2048-ch dual-tower
+    context) matches the generic torch assembly — BASELINE configs 4/5's
+    denoiser at its real architecture."""
+    rng = jax.random.PRNGKey(2)
+    unet = UNet2DConditionModel(**configs.SDXL_UNET)
+    params = unet.init(rng, batch_size=1, height=32, width=32)
+
+    tm = TorchUNet2DCondition(configs.SDXL_UNET)
+    tm.load_state_dict(_to_torch_sd(params), strict=True)
+    tm.eval()
+
+    sample = jax.random.normal(jax.random.fold_in(rng, 1), (1, 4, 32, 32))
+    ctx = jax.random.normal(jax.random.fold_in(rng, 2), (1, 77, 2048)) * 0.3
+    t = jnp.array([500])
+    text_embeds = jax.random.normal(jax.random.fold_in(rng, 3), (1, 1280)) * 0.3
+    time_ids = jnp.asarray([[1024, 1024, 0, 0, 1024, 1024]], jnp.float32)
+
+    ours = np.asarray(
+        unet.apply(
+            params, sample, t, ctx,
+            added_cond_kwargs={"text_embeds": text_embeds,
+                               "time_ids": time_ids},
+        )
+    )
+    del params, unet
+    gc.collect()
+    with torch.no_grad():
+        theirs = tm(
+            torch.tensor(np.asarray(sample)),
+            torch.tensor(np.asarray(t)),
+            torch.tensor(np.asarray(ctx)),
+            added_cond={
+                "text_embeds": torch.tensor(np.asarray(text_embeds)),
+                "time_ids": torch.tensor(np.asarray(time_ids)),
+            },
+        ).numpy()
     np.testing.assert_allclose(ours, theirs, atol=1e-5, rtol=1e-4)
