@@ -196,11 +196,13 @@ def _build_config(
             else os.environ.get("BENCH_ATTN", "auto")
         ),
         use_pallas_lion=False if reference_style else None,
-        # BENCH_LION_BUCKET=0 A/Bs the small-leaf bucketing at step level
+        # BENCH_LION_BUCKET=0 A/Bs the small-leaf bucketing at step level;
+        # default 65536 = the production default (on-chip A/B 2026-08-18:
+        # -9 ms/step at the headline, lion_bucket_ab.py 2.1x on small leaves)
         lion_bucket_max_nb=(
             0
             if reference_style
-            else int(os.environ.get("BENCH_LION_BUCKET", "0"))
+            else int(os.environ.get("BENCH_LION_BUCKET", "65536"))
         ),
         # BENCH_GRAD_CKPT=1 remats the UNet blocks (bigger batches fit HBM);
         # BENCH_FF_REMAT=1 remats only the GEGLU feed-forwards (cheaper)

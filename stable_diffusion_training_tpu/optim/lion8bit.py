@@ -273,9 +273,12 @@ def scale_by_lion_8bit(
     dispatches carrying only 9% of the optimizer bytes); 0 disables.
     Bitwise-identical either way — block membership is per-leaf and
     unchanged by the concat, and scales move through exact relayouts.
-    Default 0 pending the on-chip A/B (benchmarks/lion_bucket_ab.py):
-    the concat/split copies of bucketed grads/updates cost about as
-    much as the saved dispatch overhead at SD1.5 scale on paper.
+    The on-chip A/B (benchmarks/lion_bucket_ab.py, v5e 2026-08-18) measured
+    bucketing 2.1x faster on the isolated small-leaf population
+    (27.3 -> 13.0 ms/update) and -9 ms/step at the SD1.5-512 headline —
+    the concat/split copies cost less than the ~200 saved dispatch
+    overheads, so the production default (TrainingConfig.lion_bucket_max_nb)
+    is 65536 (bucket leaves <= 1M elements).
     """
     mu_scale_dtype = jax.dtypes.canonicalize_dtype(mu_scale_dtype)
     # FSDP dispatch context, captured at CONSTRUCTION (see set_lion_fsdp_mesh)

@@ -72,9 +72,12 @@ class TrainingConfig:
     use_pallas_lion: Optional[bool] = None
     # quantized leaves with at most this many blocks update in ONE packed
     # kernel dispatch per layout (bitwise-identical; 65536 = bucket <=1M-elem
-    # leaves). Default 0 (per-leaf dispatches) pending the on-chip A/B —
-    # benchmarks/lion_bucket_ab.py decides (copies vs dispatch overhead)
-    lion_bucket_max_nb: int = 0
+    # leaves). Default decided on-chip (benchmarks/lion_bucket_ab.py, v5e
+    # 2026-08-18): bucketing 2.1x faster on the isolated small-leaf
+    # population (27.3 -> 13.0 ms) and -9 ms/step on the SD1.5-512 headline
+    # (p50 684.5 -> 675.6 ms) — the concat/split copies cost less than the
+    # ~200 saved dispatch overheads. 0 disables (per-leaf dispatches).
+    lion_bucket_max_nb: int = 65536
     # the reference ignores the configured learning rates and scale factor
     # (on_device_model_training_state hardcodes scale 7 and the 1e-6 LR
     # defaults — training_utils.py:432-442) and implements only a constant
