@@ -144,12 +144,14 @@ def _measured_hbm_bandwidth(mb: int = 256, iters: int = 8) -> float:
 
 def _build_config(
     family, batch, res, reference_style,
-    cached=False, frozen_te=False, grad_ckpt=None,
+    cached=False, frozen_te=False, grad_ckpt=None, ff_remat=None,
 ):
     from stable_diffusion_training_tpu.train import TrainingConfig
 
     if grad_ckpt is None:
         grad_ckpt = os.environ.get("BENCH_GRAD_CKPT", "") == "1"
+    if ff_remat is None:
+        ff_remat = os.environ.get("BENCH_FF_REMAT", "") == "1"
     return TrainingConfig(
         # SDXL-scale legs (BASELINE configs 4/5): offline VAE latent cache +
         # precomputed frozen-tower context + micro-conditioning
@@ -207,7 +209,7 @@ def _build_config(
         # BENCH_GRAD_CKPT=1 remats the UNet blocks (bigger batches fit HBM);
         # BENCH_FF_REMAT=1 remats only the GEGLU feed-forwards (cheaper)
         gradient_checkpointing=grad_ckpt,
-        ff_gradient_checkpointing=os.environ.get("BENCH_FF_REMAT", "") == "1",
+        ff_gradient_checkpointing=ff_remat,
     )
 
 
@@ -238,13 +240,15 @@ def synthetic_cached_batch(batch, res, ctx_len=227, ctx_dim=2048,
 
 def run_leg(
     family, batch, res, steps, reference_style,
-    cached=False, frozen_te=False, grad_ckpt=None,
+    cached=False, frozen_te=False, grad_ckpt=None, ff_remat=None,
 ):
     """Measure one variant of the fused train step. Returns a metrics dict.
 
     ``cached``/``frozen_te``/``grad_ckpt`` select the SDXL-scale recipe
     (BASELINE configs 4/5): latent-moments batches with precomputed context
-    instead of pixels+ids, frozen text encoder, block remat."""
+    instead of pixels+ids, frozen text encoder, block remat. ``ff_remat``
+    remats only the GEGLU feed-forwards (the cheap variant that won the
+    config-3 768² ladder — PERF_NOTES)."""
     from jax.sharding import NamedSharding, PartitionSpec
 
     from stable_diffusion_training_tpu.core import mesh as mesh_lib
@@ -257,6 +261,7 @@ def run_leg(
     cfg = _build_config(
         family, batch, res, reference_style,
         cached=cached, frozen_te=frozen_te, grad_ckpt=grad_ckpt,
+        ff_remat=ff_remat,
     )
     (unet_state, te_state, _, _, frozen_vae, frozen_sched, _) = (
         on_device_model_training_state(cfg)
@@ -430,7 +435,12 @@ def run_leg(
 # candidates are tried largest-first until one fits HBM.
 EXTRA_LEGS = {
     "3": dict(  # SD 2.1 @ 768² + 8-bit quantized Lion
-        family="sd21", res=768, batches=(6, 4, 2),
+        # ladder head is the remat-ladder winner (PERF_NOTES round 4):
+        # GEGLU-only remat unlocks b8 past the b6 HBM wall (+7.3%); b12
+        # OOMs HBM even with it and b10's compile crashes the remote
+        # helper (3/3 attempts), so b8 closed the ladder
+        family="sd21", res=768,
+        batches=((8, dict(ff_remat=True)), 6, 4, 2),
     ),
     "4": dict(  # SDXL-scale UNet + gradient checkpointing
         family="sdxl", res=1024, batches=(8, 4, 2, 1),
@@ -448,8 +458,15 @@ def run_extra_leg(name, steps):
     batches = spec.pop("batches")
     family, res = spec.pop("family"), spec.pop("res")
     for b in batches:
+        # a ladder entry is either a batch size or (batch, overrides) —
+        # e.g. config-3's winning variant is FF-remat at b8, with plain
+        # no-remat b6 as the fallback when the remat compile fails
+        overrides = {}
+        if isinstance(b, (tuple, list)):
+            b, overrides = b
         try:
-            r = run_leg(family, b, res, steps, reference_style=False, **spec)
+            r = run_leg(family, b, res, steps, reference_style=False,
+                        **{**spec, **overrides})
             return {
                 "metric": f"train_images_per_sec_per_chip_{family}_{res}"
                 + ("_cached" if spec.get("cached") else ""),
@@ -460,6 +477,7 @@ def run_extra_leg(name, steps):
                 **{k: v for k, v in r.items()
                    if k != "images_per_sec_per_chip"},
                 **{k: v for k, v in spec.items() if v},
+                **{k: v for k, v in overrides.items() if v},
             }
         except Exception as exc:
             print(
