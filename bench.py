@@ -118,28 +118,105 @@ def _measured_peak_flops(dim: int = 4096, chained: int = 48) -> float:
     return 2.0 * dim * dim * dim * chained / best
 
 
-def _measured_hbm_bandwidth(mb: int = 256, iters: int = 8) -> float:
-    """Achievable HBM bandwidth (GB/s) via a big bf16 copy+scale (read n +
-    write n). On this shared rig it lands far below the 819 GB/s v5e spec
-    (PERF_NOTES "rig roofline") — reported so the artifact carries the
-    bandwidth ceiling the step's norm/optimizer categories are pinned to."""
+def _measured_conv_tflops() -> float:
+    """Achievable bf16 CONV rate (TF/s) via a chained stride-1 3x3 conv.
+
+    The round-4 per-kernel audit found the step's conv fusions sustain
+    ~190 TF/s — well above the 4096^3 matmul chain's ~105 — so the matmul
+    probe alone understates what the chip demonstrably delivers on this
+    workload's dominant MXU shape. Reported alongside it; marginal
+    differencing cancels the relay floor."""
     import jax.numpy as jnp
+    from jax import lax
+
+    x = jnp.ones((16, 256, 256, 128), jnp.bfloat16)
+    w = jnp.full((3, 3, 128, 128), 0.01, jnp.bfloat16)
+
+    def mk(reps):
+        @jax.jit
+        def f(x, w):
+            def body(_, x):
+                y = lax.conv_general_dilated(
+                    x, w, (1, 1), "SAME",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
+                return (y * jnp.bfloat16(0.05)).astype(jnp.bfloat16)
+
+            return lax.fori_loop(0, reps, body, x)
+
+        return f
+
+    def timed(fn):
+        _ = float(fn(x, w).reshape(-1)[0])
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = fn(x, w)
+            _ = float(out.reshape(-1)[0])
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_lo, t_hi = timed(mk(4)), timed(mk(12))
+    per_conv = max((t_hi - t_lo) / 8, 1e-9)
+    flops = 2.0 * 16 * 256 * 256 * 128 * (3 * 3 * 128)
+    return flops / per_conv / 1e12
+
+
+def _measured_hbm_bandwidth(mb: int = 256) -> float:
+    """Achievable HBM streaming bandwidth (GB/s), by MARGINAL cost of a
+    chained GroupNorm (3 passes over the array per iteration: stats read,
+    normalize read, write).
+
+    The round-4 audit (benchmarks/fusion_bw_audit.py) showed the previous
+    probes were artifacts: a single-op ``x*c`` dispatch chain is dominated
+    by relay per-dispatch latency, and a same-constant fori_loop multiply
+    chain gets collapsed (8 vs 16 reps measured 1.01x). GroupNorm chained
+    through a kept while-loop cannot fold, each iteration provably makes 3
+    passes, and differencing two rep counts cancels the relay floor — this
+    measures ~700 GB/s (85-90%% of the 819 GB/s v5e spec) where the old
+    probes read 90-290."""
+    import jax.numpy as jnp
+    from jax import lax
 
     n = mb * 1024 * 1024 // 2
-    x = jnp.ones((n,), jnp.bfloat16)
+    rows = n // 128
+    x = jnp.linspace(-2.0, 2.0, rows * 128, dtype=jnp.float32).astype(
+        jnp.bfloat16
+    ).reshape(rows, 128)
 
-    @jax.jit
-    def f(a):
-        return a * jnp.bfloat16(1.0001)
+    def mk(reps):
+        @jax.jit
+        def f(x):
+            def body(_, x):
+                # stats over 32-row sublane groups: the minor (lane) dim
+                # stays 128 so no relayout sneaks into the loop body (a
+                # rows<->lane regroup was measured to cost ~2.5x)
+                g = x.reshape(rows // 32, 32, 128).astype(jnp.float32)
+                mean = jnp.mean(g, axis=(1, 2), keepdims=True)
+                var = (
+                    jnp.mean(jnp.square(g), axis=(1, 2), keepdims=True)
+                    - mean * mean
+                )
+                y = (g - mean) * jax.lax.rsqrt(var + 1e-5)
+                return y.astype(jnp.bfloat16).reshape(rows, 128)
 
-    y = f(x)
-    _ = float(jnp.sum(y.astype(jnp.float32)))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        y = f(y)
-    _ = float(jnp.sum(y.astype(jnp.float32)))
-    dt = (time.perf_counter() - t0) / iters
-    return 2 * n * 2 / dt / 1e9
+            return lax.fori_loop(0, reps, body, x)
+
+        return f
+
+    def timed(fn):
+        _ = float(fn(x).reshape(-1)[0])  # compile + warm
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = fn(x)
+            _ = float(out.reshape(-1)[0])  # value-force past the relay
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_lo, t_hi = timed(mk(4)), timed(mk(12))
+    per_pass = max((t_hi - t_lo) / 8, 1e-9)
+    return 3 * n * 2 / per_pass / 1e9
 
 
 def _build_config(
@@ -647,6 +724,9 @@ def main():
                     4,
                 )
             record["measured_hbm_gbps"] = round(_measured_hbm_bandwidth(), 1)
+            record["measured_conv_tflops"] = round(
+                _measured_conv_tflops(), 1
+            )
         except Exception:
             pass
     if ref:
