@@ -26,157 +26,13 @@ Usage (on the TPU): python benchmarks/fusion_bw_audit.py [batch] [res] [k]
 
 import glob
 import os
-import re
 import sys
 import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-_DTYPE_BYTES = {
-    "pred": 1, "s8": 1, "u8": 1, "s16": 2, "u16": 2, "bf16": 2, "f16": 2,
-    "s32": 4, "u32": 4, "f32": 4, "s64": 8, "u64": 8, "f64": 8,
-}
-_SHAPE_RE = re.compile(r"(pred|s8|u8|s16|u16|bf16|f16|s32|u32|f32|s64|u64|f64)\[([0-9,]*)\]")
-_INSTR_RE = re.compile(r"^\s*(?:ROOT\s+)?%?([^\s=]+) = ")
-
-
-def _shape_bytes(text: str) -> int:
-    """Total bytes of every TYPE[dims] token in ``text`` (tuples sum)."""
-    total = 0
-    for dtype, dims in _SHAPE_RE.findall(text):
-        n = 1
-        for d in dims.split(","):
-            if d:
-                n *= int(d)
-        total += n * _DTYPE_BYTES[dtype]
-    return total
-
-
-def _n_elems(shape_text: str) -> int:
-    n_total = 0
-    for _, dims in _SHAPE_RE.findall(shape_text):
-        n = 1
-        for d in dims.split(","):
-            if d:
-                n *= int(d)
-        n_total += n
-    return n_total
-
-
-def parse_hlo(hlo: str):
-    """name -> (output_bytes, operand_names, opcode); plus fusion bodies.
-
-    Works on the optimized-HLO text from ``compiled.as_text()``: one
-    instruction per line, computations delimited by ``{``/``}``.
-    Also accumulates per-computation MXU flops (dot/convolution) so fusion
-    kernels can be placed on a combined compute+bandwidth roofline.
-    """
-    out_bytes = {}
-    operands = {}
-    opcode = {}
-    body_of = {}  # fusion instruction name -> called computation name
-    comp_ops = {}  # computation name -> set of opcodes inside
-    comp_flops = {}  # computation name -> MXU flops inside
-    shape_of = {}  # name -> shape text (for conv/dot flops)
-    cur_comp = None
-
-    comp_re = re.compile(r"^(?:ENTRY\s+)?%?([^\s]+) \(.*\) -> .* {")
-    op_re = re.compile(
-        r"^\s*(?:ROOT\s+)?%?([^\s=]+) = (\(.*?\)|\S+) ([a-z][a-z0-9-]*)\((.*)$"
-    )
-    calls_re = re.compile(r"calls=%?([^\s,)]+)")
-    window_re = re.compile(r"window={size=([0-9x]+)")
-    contracting_re = re.compile(r"lhs_contracting_dims={([0-9,]+)}")
-
-    for line in hlo.splitlines():
-        m = comp_re.match(line)
-        if m:
-            cur_comp = m.group(1)
-            comp_ops.setdefault(cur_comp, set())
-            comp_flops.setdefault(cur_comp, 0.0)
-            continue
-        m = op_re.match(line)
-        if not m:
-            continue
-        name, shape, code, rest = m.groups()
-        out_bytes[name] = _shape_bytes(shape)
-        shape_of[name] = shape
-        opcode[name] = code
-        if cur_comp is not None:
-            comp_ops[cur_comp].add(code)
-        # operand names: %refs inside the first paren group (cut at the
-        # first unbalanced close; attribute refs like calls= come after)
-        depth = 1
-        arglist = []
-        for ch in rest:
-            if ch == "(":
-                depth += 1
-            elif ch == ")":
-                depth -= 1
-                if depth == 0:
-                    break
-            arglist.append(ch)
-        arg_str = "".join(arglist)
-        operands[name] = re.findall(r"%([^\s,()]+)", arg_str)
-        if code == "fusion":
-            mc = calls_re.search(rest)
-            if mc:
-                body_of[name] = mc.group(1)
-        elif code in ("convolution", "dot") and cur_comp is not None:
-            # MXU flops: 2 * out_elems * contraction size. For convs the
-            # contraction is window * input features (rhs shape / fgc,
-            # approximated from rhs elems / out features); for dots it is
-            # the lhs contracting dims' product.
-            out_elems = _n_elems(shape)
-            flops = 0.0
-            if code == "convolution":
-                mw = window_re.search(rest)
-                ops_names = operands[name]
-                if mw and len(ops_names) >= 2:
-                    rhs = shape_of.get(ops_names[1], "")
-                    rhs_elems = _n_elems(rhs)
-                    # out feature dim ~ last dim of output shape
-                    mdims = _SHAPE_RE.search(shape)
-                    if mdims and rhs_elems:
-                        # contraction = rhs_elems / out_features
-                        dims = [int(d) for d in mdims.group(2).split(",") if d]
-                        out_f = dims[-1] if dims else 1
-                        flops = 2.0 * out_elems * (rhs_elems / max(out_f, 1))
-            else:
-                mc2 = contracting_re.search(rest)
-                ops_names = operands[name]
-                if mc2 and ops_names:
-                    lhs = shape_of.get(ops_names[0], "")
-                    mdims = _SHAPE_RE.search(lhs)
-                    if mdims:
-                        dims = [int(d) for d in mdims.group(2).split(",") if d]
-                        k = 1
-                        for idx in mc2.group(1).split(","):
-                            i = int(idx)
-                            if i < len(dims):
-                                k *= dims[i]
-                        flops = 2.0 * out_elems * k
-            comp_flops[cur_comp] = comp_flops.get(cur_comp, 0.0) + flops
-    return out_bytes, operands, opcode, body_of, comp_ops, comp_flops
-
-
-def kernel_bytes(name, out_bytes, operands):
-    total = out_bytes.get(name, 0)
-    for op in operands.get(name, ()):  # operand read traffic
-        total += out_bytes.get(op, 0)
-    return total
-
-
-def has_mxu(name, opcode, body_of, comp_ops):
-    code = opcode.get(name, "")
-    if code in ("dot", "convolution", "custom-call"):
-        return True
-    body = body_of.get(name)
-    if body and comp_ops.get(body):
-        return bool(comp_ops[body] & {"dot", "convolution"})
-    return False
-
+from stable_diffusion_training_tpu.utils.hloaudit import INSTR_RE, parse_hlo  # noqa: E402
 
 def gn_calibration_bw():
     """Marginal chained-GroupNorm bandwidth (GB/s) — the clean-stream rate
@@ -270,8 +126,8 @@ def main():
                          **static)
     compiled = lowered.compile()
     hlo = compiled.as_text()
-    out_bytes, operands, opcode, body_of, comp_ops, comp_flops = parse_hlo(hlo)
-    print(f"HLO parsed: {len(out_bytes)} instructions", flush=True)
+    idx = parse_hlo(hlo)
+    print(f"HLO parsed: {len(idx.out_bytes)} instructions", flush=True)
     # same-session achievable matmul rate for the compute side of the roofline
     tf_cal = bench._measured_peak_flops() / 1e12
     print(f"calibration: measured matmul {tf_cal:.1f} TF/s", flush=True)
@@ -302,19 +158,18 @@ def main():
     rows = []
     for raw_name, (ps, n) in durations.items():
         # trace names may be bare ("fusion.123") or full instruction text
-        m = _INSTR_RE.match(raw_name)
+        m = INSTR_RE.match(raw_name)
         name = m.group(1) if m else raw_name.strip().lstrip("%").split()[0]
         ms = ps / 1e9 / 3  # per step
-        nb = kernel_bytes(name, out_bytes, operands)
-        fl = comp_flops.get(body_of.get(name, ""), 0.0)
-        if opcode.get(name) in ("dot", "convolution"):
+        nb = idx.kernel_bytes(name)
+        fl = idx.kernel_flops(name)
+        if idx.opcode.get(name) in ("dot", "convolution"):
             fl = max(fl, 1.0)  # unfused MXU op: flops not tracked, mark MXU
         # roofline ideal: the binding resource at calibration rates.
         # custom-calls (flash/Lion Pallas kernels) have their own arbiters;
         # skip the flops side for them (bytes-only lower bound).
         ideal_ms = max(nb / (cal_bw * 1e9), fl / (tf_cal * 1e12)) * 1e3
-        rows.append((ms, name, nb, fl, ideal_ms,
-                     has_mxu(name, opcode, body_of, comp_ops)))
+        rows.append((ms, name, nb, fl, ideal_ms, idx.has_mxu(name)))
     rows.sort(reverse=True)
 
     print(f"\ntop {k} ops by serialized time/step (batch {batch} @ {res}px); "
@@ -324,8 +179,8 @@ def main():
     for ms, name, nb, fl, ideal, mxu in rows[:k]:
         gap = ms / ideal if ideal > 1e-6 else float("inf")
         tag = "MXU" if mxu else "   "
-        body = body_of.get(name)
-        ops = ",".join(sorted(comp_ops.get(body, ()))) if body else ""
+        body = idx.body_of.get(name)
+        ops = ",".join(sorted(idx.comp_ops.get(body, ()))) if body else ""
         print(f"{ms:9.3f} {nb / 1e9:8.3f} {fl / 1e9:7.1f} {ideal:7.3f} "
               f"{gap:5.1f}  {tag}  {name[:60]}  [{ops[:110]}]")
 
@@ -334,7 +189,7 @@ def main():
     excess_ms = 0.0
     excess_ideal = 0.0
     for ms, name, nb, fl, ideal, mxu in rows:
-        if opcode.get(name) == "custom-call" or ms < 0.2:
+        if idx.opcode.get(name) == "custom-call" or ms < 0.2:
             continue
         if ideal > 1e-6 and ms / ideal > 1.5:
             excess_ms += ms
