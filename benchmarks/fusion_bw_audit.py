@@ -21,7 +21,10 @@ Kernels WITHOUT MXU work running far below the calibration bandwidth are
 optimization targets (bad layouts, f32 materialization, fusion shape);
 kernels at/above it are genuinely bandwidth-pinned.
 
-Usage (on the TPU): python benchmarks/fusion_bw_audit.py [batch] [res] [k]
+Usage (on the TPU):
+    python benchmarks/fusion_bw_audit.py [batch] [res] [k] [family] [ff_remat]
+e.g. the headline leg is `16 512 25 sd15 0` (the defaults) and the config-3
+SD2.1 FF-remat leg is `8 768 25 sd21 1`.
 """
 
 import glob
@@ -80,6 +83,8 @@ def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     res = int(sys.argv[2]) if len(sys.argv) > 2 else 512
     k = int(sys.argv[3]) if len(sys.argv) > 3 else 25
+    family = sys.argv[4] if len(sys.argv) > 4 else "sd15"
+    ff_remat = bool(int(sys.argv[5])) if len(sys.argv) > 5 else False
 
     import jax
     from jax.sharding import NamedSharding, PartitionSpec
@@ -98,11 +103,13 @@ def main():
     print(f"calibration: chained-GN marginal {cal_ms:.2f} ms "
           f"-> {cal_bw:.0f} GB/s clean-stream", flush=True)
 
-    cfg = bench._build_config("sd15", batch, res, reference_style=False)
+    cfg = bench._build_config(
+        family, batch, res, reference_style=False, ff_remat=ff_remat
+    )
     (unet_state, te_state, _, _, frozen_vae, frozen_sched, _) = (
         on_device_model_training_state(cfg)
     )
-    vocab = model_configs.MODEL_FAMILIES["sd15"]["text_encoder"]["vocab_size"]
+    vocab = model_configs.MODEL_FAMILIES[family]["text_encoder"]["vocab_size"]
     b = synthetic_batch(batch, (res, res), concat_count=3, seed=0,
                         vocab_size=vocab)
     mesh = mesh_lib.get_default_mesh()

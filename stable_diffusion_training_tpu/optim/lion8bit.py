@@ -186,6 +186,27 @@ def set_lion_fsdp_mesh(mesh, axis: str = "fsdp") -> None:
         _LION_FSDP_MESH = (mesh, axis)
 
 
+# TP mesh context (set by train.states for tensor-parallel runs WITHOUT
+# fsdp momentum sharding). Under TP the quantized momentum is replicated
+# (parallel.sharding.train_state_tp_sharding: only params carry Megatron
+# specs), so producing the replicated new momentum forces GSPMD to gather
+# each Megatron-sharded grad leaf no matter which math computes the update.
+# That makes an ALL-REPLICATED shard_map around the unmodified fused kernels
+# collective-neutral with the jnp path (replicated leaves: zero collectives;
+# Megatron leaves: the same inherent gather) while keeping the single-pass
+# Pallas update — so, unlike FSDP, no per-leaf shape eligibility is needed
+# and every quantized leaf (dense, transposed, bucketed) stays fused.
+_LION_TP_MESH = None  # Mesh | None
+
+
+def set_lion_tp_mesh(mesh) -> None:
+    """Register (or clear, with ``mesh=None``) the tensor-parallel mesh that
+    wraps the fused kernels in an all-replicated ``shard_map``. Read ONCE at
+    ``scale_by_lion_8bit`` construction, like ``set_lion_fsdp_mesh``."""
+    global _LION_TP_MESH
+    _LION_TP_MESH = mesh
+
+
 def fsdp_dense_eligible(param_shape, codes_shape, scales_shape, k: int) -> bool:
     """True when a dense-layout quantized leaf can run the fused kernel
     shard_map'd over an fsdp axis of size ``k`` with dim-0 sharding on
@@ -281,8 +302,14 @@ def scale_by_lion_8bit(
     is 65536 (bucket leaves <= 1M elements).
     """
     mu_scale_dtype = jax.dtypes.canonicalize_dtype(mu_scale_dtype)
-    # FSDP dispatch context, captured at CONSTRUCTION (see set_lion_fsdp_mesh)
+    # mesh dispatch contexts, captured at CONSTRUCTION (see
+    # set_lion_fsdp_mesh / set_lion_tp_mesh); mutually exclusive by
+    # train.states' routing (tp+fsdp momentum sharding keeps the jnp path)
     fsdp_ctx = _LION_FSDP_MESH
+    tp_ctx = _LION_TP_MESH
+    assert fsdp_ctx is None or tp_ctx is None, (
+        "set_lion_fsdp_mesh and set_lion_tp_mesh are mutually exclusive"
+    )
 
     def _quantize(x: chex.Array) -> chex.Array:
         shifted = x + _ZERO_CROSSING_OFFSET
@@ -421,6 +448,39 @@ def scale_by_lion_8bit(
                 fused_lion8bit_update_transposed,
                 fused_lion8bit_update_transposed_packed,
             )
+
+            if tp_ctx is not None:
+                # TP mesh: the Pallas custom calls have no GSPMD partitioning
+                # rule, so run them inside an all-replicated shard_map — each
+                # device updates the full (replicated) momentum locally. See
+                # the _LION_TP_MESH comment for why this is collective-neutral
+                # with the jnp path under TP.
+                from jax.sharding import PartitionSpec as _P
+
+                def _replicated_on_mesh(fn):
+                    @functools.wraps(fn)
+                    def call(g, codes, scales, **kw):
+                        return jax.shard_map(
+                            functools.partial(fn, **kw),
+                            mesh=tp_ctx,
+                            in_specs=(_P(), _P(), _P()),
+                            out_specs=(_P(), _P(), _P()),
+                            # pallas_call out_shapes carry no varying-mesh-
+                            # axes info (same as the FSDP wrapper)
+                            check_vma=False,
+                        )(g, codes, scales)
+
+                    return call
+
+                fused_lion8bit_update_dense = _replicated_on_mesh(
+                    fused_lion8bit_update_dense
+                )
+                fused_lion8bit_update_transposed = _replicated_on_mesh(
+                    fused_lion8bit_update_transposed
+                )
+                fused_lion8bit_update_transposed_packed = _replicated_on_mesh(
+                    fused_lion8bit_update_transposed_packed
+                )
 
             def _fused_fsdp_dense(g, codes, scales, mesh, axis):
                 # each device's dim-0 shard is itself a valid dense layout

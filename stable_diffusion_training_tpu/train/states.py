@@ -343,10 +343,14 @@ def on_device_model_training_state(
     #   lockstep with the param (parallel.sharding.train_state_fsdp_sharding)
     #   and eligible leaves run the kernel inside shard_map with zero
     #   collectives (optim.lion8bit.set_lion_fsdp_mesh); shard-misaligned
-    #   leaves and all leaves under TP (whose Megatron param specs don't
-    #   match the flat block layout) take the XLA-fused jnp path, which
-    #   GSPMD partitions elementwise.
-    from ..optim.lion8bit import set_lion_fsdp_mesh
+    #   leaves take the XLA-fused jnp path, which GSPMD partitions
+    #   elementwise. Under TP (momentum replicated) every quantized leaf
+    #   runs the kernel inside an ALL-replicated shard_map
+    #   (optim.lion8bit.set_lion_tp_mesh — collective-neutral with the jnp
+    #   path, see the _LION_TP_MESH rationale). The one remaining fallback
+    #   combo is tp+fsdp momentum sharding, whose generic largest-dim
+    #   momentum shards don't align with the flat block layout.
+    from ..optim.lion8bit import set_lion_fsdp_mesh, set_lion_tp_mesh
     from ..ops.attention import set_attention_mesh
 
     mesh_sizes = dict(mesh.shape)
@@ -358,8 +362,9 @@ def on_device_model_training_state(
     else:
         set_attention_mesh(None)  # idempotent across runs in one process
     set_lion_fsdp_mesh(mesh if (fsdp and not tp) else None)
+    set_lion_tp_mesh(mesh if (tp and not fsdp) else None)
     use_pallas_lion = training_config.use_pallas_lion
-    if use_pallas_lion is None and tp:
+    if use_pallas_lion is None and tp and fsdp:
         use_pallas_lion = False
     dense_fsdp_factor = mesh_sizes.get("fsdp", 1) if fsdp else 1
 

@@ -30,6 +30,16 @@ def _reset_attention_mesh():
     )
     yield
     attn_mod.set_attention_mesh(None)
+    # same process-global hazard for the Lion mesh registries: a TP/FSDP
+    # training state built here must not leak its mesh into transforms
+    # constructed by later tests
+    from stable_diffusion_training_tpu.optim.lion8bit import (
+        set_lion_fsdp_mesh,
+        set_lion_tp_mesh,
+    )
+
+    set_lion_fsdp_mesh(None)
+    set_lion_tp_mesh(None)
 
 
 @pytest.fixture(scope="module")
@@ -664,6 +674,145 @@ class TestFSDPFusedLion:
             cfg.fsdp_shard_params = True
             cfg.use_pallas_lion = use_pallas
             return _one_tp_step(mesh, tp=False, cfg=cfg)
+
+        state_pallas, loss_pallas = run(True)
+        state_jnp, loss_jnp = run(False)
+        assert np.isfinite(loss_pallas)
+        assert loss_pallas == loss_jnp
+        for a, b in zip(
+            jax.tree.leaves(state_pallas.params),
+            jax.tree.leaves(state_jnp.params),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestTPFusedLion:
+    """Fused Pallas Lion under tensor parallelism (SURVEY §2.13): momentum is
+    replicated under TP, so every quantized leaf runs the unmodified fused
+    kernel inside an all-replicated shard_map (optim.lion8bit.set_lion_tp_mesh)
+    — bitwise-equal to the jnp path, zero collectives for replicated leaves,
+    and only the inherent grad gather for Megatron-sharded leaves (which the
+    jnp path pays too, since it must produce replicated new momentum)."""
+
+    @pytest.fixture(autouse=True)
+    def _reset_lion_tp_mesh(self):
+        from stable_diffusion_training_tpu.optim.lion8bit import (
+            set_lion_tp_mesh,
+        )
+
+        yield
+        set_lion_tp_mesh(None)
+
+    def test_tp_fused_lion_bitwise_parity(self, tp_mesh):
+        """Two TP-mesh Pallas update steps == two meshless jnp steps,
+        bitwise, including a Megatron column-sharded grad leaf."""
+        from jax.sharding import NamedSharding
+
+        from stable_diffusion_training_tpu.optim.lion8bit import (
+            scale_by_lion_8bit,
+            set_lion_tp_mesh,
+        )
+
+        rs = np.random.RandomState(0)
+        mk = lambda shape: jnp.asarray(rs.randn(*shape).astype(np.float32))
+        # "w" stays replicated; "qkv" plays a Megatron column-sharded kernel
+        params = {"w": mk((32, 512)), "qkv": mk((64, 512))}
+        g1 = {"w": mk((32, 512)), "qkv": mk((64, 512))}
+        g2 = {"w": mk((32, 512)), "qkv": mk((64, 512))}
+
+        tx_jnp = scale_by_lion_8bit(
+            block_size=16, excluded_layer_mask=True, use_pallas=False,
+        )
+        ref_state = tx_jnp.init(params)
+        ref_u1, ref_state = tx_jnp.update(g1, ref_state)
+        ref_u2, ref_state = tx_jnp.update(g2, ref_state)
+
+        set_lion_tp_mesh(tp_mesh)
+        tx = scale_by_lion_8bit(
+            block_size=16, excluded_layer_mask=True, use_pallas=True,
+        )
+        state = tx.init(params)
+        repl = NamedSharding(tp_mesh, PartitionSpec())
+        col = NamedSharding(tp_mesh, PartitionSpec(None, "model_parallel"))
+        put_g = lambda g: {
+            "w": jax.device_put(g["w"], repl),
+            "qkv": jax.device_put(g["qkv"], col),
+        }
+        state = state._replace(
+            mu_quant=jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, repl), state.mu_quant
+            )
+        )
+        update = jax.jit(tx.update)
+        u1, state = update(put_g(g1), state)
+        u2, state = update(put_g(g2), state)
+
+        for k in ("w", "qkv"):
+            np.testing.assert_array_equal(
+                np.asarray(u1[k]), np.asarray(ref_u1[k])
+            )
+            np.testing.assert_array_equal(
+                np.asarray(u2[k]), np.asarray(ref_u2[k])
+            )
+            np.testing.assert_array_equal(
+                np.asarray(state.mu_quant[k][0]),
+                np.asarray(ref_state.mu_quant[k][0]),
+            )
+            # scales at 1e-6 rtol: XLA:CPU fuses the momentum FMA
+            # differently across compilation instances (same convention as
+            # the FSDP parity test above)
+            np.testing.assert_allclose(
+                np.asarray(state.mu_quant[k][1]),
+                np.asarray(ref_state.mu_quant[k][1]),
+                rtol=1e-6,
+            )
+
+    def test_tp_replicated_leaves_no_collectives(self, tp_mesh):
+        """With every leaf replicated the TP-wrapped update emits zero
+        collectives — the shard_map region is purely device-local."""
+        from jax.sharding import NamedSharding
+
+        from stable_diffusion_training_tpu.optim.lion8bit import (
+            scale_by_lion_8bit,
+            set_lion_tp_mesh,
+        )
+
+        rs = np.random.RandomState(1)
+        params = {"w": jnp.asarray(rs.randn(32, 512).astype(np.float32))}
+        g = {"w": jnp.asarray(rs.randn(32, 512).astype(np.float32))}
+
+        set_lion_tp_mesh(tp_mesh)
+        tx = scale_by_lion_8bit(
+            block_size=16, excluded_layer_mask=True, use_pallas=True,
+        )
+        state = tx.init(params)
+        repl = NamedSharding(tp_mesh, PartitionSpec())
+        put = lambda t: jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, repl)
+            if getattr(x, "ndim", 0) == 2
+            else x,
+            t,
+        )
+        state = state._replace(mu_quant=put(state.mu_quant))
+        update = jax.jit(tx.update)
+        hlo = update.lower(put(g), state).compile().as_text()
+        for coll in (
+            "all-gather", "all-reduce", "collective-permute", "all-to-all"
+        ):
+            assert coll not in hlo, f"TP fused Lion emitted {coll}"
+
+    @pytest.mark.slow  # two full fused-step compiles on the 2x4 virtual mesh
+    def test_tp_train_step_pallas_matches_jnp(self, cpu_devices):
+        """Full TP train step with the all-replicated shard_map'd Pallas
+        optimizer produces the same updated params as the GSPMD jnp path."""
+        mesh = mesh_lib.create_mesh(
+            shape=(2, 4), axis_names=("data_parallel", "model_parallel")
+        )
+
+        def run(use_pallas):
+            cfg = _tiny_tp_config(tp=True)
+            cfg.use_pallas_lion = use_pallas
+            return _one_tp_step(mesh, tp=True, cfg=cfg)
 
         state_pallas, loss_pallas = run(True)
         state_jnp, loss_jnp = run(False)
