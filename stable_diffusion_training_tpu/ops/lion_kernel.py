@@ -45,8 +45,16 @@ from ..optim.lion8bit import dense_tile_rows  # noqa: F401  (public re-export)
 _DEFAULT_ROWS = 1024
 
 
+def _fast_compander(compander: str) -> bool:
+    if compander not in ("exact", "fast"):
+        raise ValueError(
+            f"unknown compander {compander!r}; use 'exact' or 'fast'"
+        )
+    return compander == "fast"
+
+
 def _lion_kernel_dense(g_ref, codes_ref, scales_ref, upd_ref, new_codes_ref,
-                       new_scales_ref, *, b1, b2, bs):
+                       new_scales_ref, *, b1, b2, bs, fast=False):
     """DENSE layout: codes are the grad's own ``(N/128, 128)`` bitcast view.
 
     A quantization block (``bs`` consecutive flat elements) is ``bs``
@@ -95,10 +103,13 @@ def _lion_kernel_dense(g_ref, codes_ref, scales_ref, upd_ref, new_codes_ref,
         )
 
     g = g_ref[:].astype(jnp.float32)                       # (rows, 128)
-    mu = _dequantize(codes_ref[:], jnp.float32) / expand(scales_ref[:])
-
+    if fast:
+        # reciprocal on the 16x-smaller scales block, then one expand —
+        # the full-width divide becomes a multiply (see _dequantize_fast)
+        mu = _dequantize_fast(codes_ref[:], expand(1.0 / scales_ref[:]))
+    else:
+        mu = _dequantize(codes_ref[:], jnp.float32) / expand(scales_ref[:])
     upd_ref[:] = jnp.sign((1.0 - b1) * g + b1 * mu).astype(upd_ref.dtype)
-
     mu_new = (1.0 - b2) * g + b2 * mu
     absmax = group_max_packed(jnp.abs(mu_new))             # (gpr, rows)
     scales = 1.0 / jnp.where(absmax <= 0.0, 1.0, absmax)
@@ -115,6 +126,7 @@ def fused_lion8bit_update_dense(
     mu_scale_dtype=jnp.float32,
     rows_per_tile: int = _DEFAULT_ROWS,
     interpret: bool = None,
+    compander: str = "exact",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Fused update for one quantized leaf in the DENSE layout.
 
@@ -141,7 +153,8 @@ def fused_lion8bit_update_dense(
     bs = 128 // gpr
     gd = grad.reshape(x, 128)  # free bitcast view
     kernel = functools.partial(
-        _lion_kernel_dense, b1=float(b1), b2=float(b2), bs=bs
+        _lion_kernel_dense, b1=float(b1), b2=float(b2), bs=bs,
+        fast=_fast_compander(compander),
     )
     upd, new_codes, new_scales = pl.pallas_call(
         kernel,
@@ -175,6 +188,34 @@ def _quantize(x):
 
 def _dequantize(q, dtype):
     return ((q / 127) ** 5).astype(dtype) - _ZERO_CROSSING_OFFSET
+
+
+# folded (q/127)^5 constant for the fast compander (exact f32 value of
+# 127.0**-5 — the fold itself, not the constant, is the non-bitwise part)
+_POW5_C = float(127.0 ** -5)
+
+
+def _dequantize_fast(q, inv_scale):
+    """compander="fast" dequant: ``(q^5 * 127^-5 - offset) * absmax``.
+
+    Two op-count cuts vs the exact compander (same math, reassociated):
+    the ``/127`` is folded into one constant multiply on the 5th power,
+    and the full-width divide by the stored inverse-absmax scales becomes
+    a multiply by their reciprocal (``inv_scale``), which the caller
+    computes on the 16x-smaller scales array before expanding. Values
+    differ from the exact path only by rounding (<= a few ulps per
+    element); see PERF_NOTES round-5 Lion op-count surgery."""
+    qf = q.astype(jnp.float32)
+    q2 = qf * qf
+    q5 = q2 * q2 * qf
+    return (q5 * _POW5_C - _ZERO_CROSSING_OFFSET) * inv_scale
+
+# NOTE (round-5 negative result, kept on record): a shared-lerp rewrite
+# ``d = mu - g; upd = sign(g + b1*d); mu_new = g + b2*d`` saves ~3 full-width
+# ops but ``g + b2*(mu - g)`` with b2=0.99 and |mu| << |g| (every fresh
+# momentum) cancels catastrophically — ~1e-5 relative noise in mu_new and
+# pallas/jnp divergence well beyond ulps. The fast compander therefore keeps
+# the exact two-multiply lerps and only reassociates the dequant.
 
 
 def _lion_kernel_wide(g_ref, codes_ref, scales_ref, upd_ref, new_codes_ref,
@@ -231,7 +272,8 @@ def _lion_kernel_wide(g_ref, codes_ref, scales_ref, upd_ref, new_codes_ref,
 
 
 def _lion_kernel_transposed(g_ref, codes_ref, scales_ref, upd_ref,
-                            new_codes_ref, new_scales_ref, *, b1, b2):
+                            new_codes_ref, new_scales_ref, *, b1, b2,
+                            fast=False):
     """Block-transposed layout: refs are (bs, cols) with one BLOCK per lane.
 
     Every lane is fully packed (vs 16/128 in the narrow layout's (rows, bs)
@@ -241,10 +283,12 @@ def _lion_kernel_transposed(g_ref, codes_ref, scales_ref, upd_ref,
     cheap cross-sublane reduction. Measured 3.0x faster than narrow on v5e
     at 16M params, bitwise identical (benchmarks/lion_transposed_ab.py)."""
     g = g_ref[:].astype(jnp.float32)                      # (bs, cols)
-    mu = _dequantize(codes_ref[:], jnp.float32) / scales_ref[:]
-
+    if fast:
+        # reciprocal on the (1, cols) scales row broadcasts over bs rows
+        mu = _dequantize_fast(codes_ref[:], 1.0 / scales_ref[:])
+    else:
+        mu = _dequantize(codes_ref[:], jnp.float32) / scales_ref[:]
     upd_ref[:] = jnp.sign((1.0 - b1) * g + b1 * mu).astype(upd_ref.dtype)
-
     mu_new = (1.0 - b2) * g + b2 * mu
     absmax = jnp.max(jnp.abs(mu_new), axis=0, keepdims=True)  # (1, cols)
     scales = 1.0 / jnp.where(absmax <= 0.0, 1.0, absmax)
@@ -264,6 +308,7 @@ def fused_lion8bit_update_transposed_packed(
     mu_scale_dtype=jnp.float32,
     cols_per_tile: int = _DEFAULT_COLS,
     interpret: bool = None,
+    compander: str = "exact",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Transposed-layout fused update on PRE-TRANSPOSED operands.
 
@@ -287,7 +332,8 @@ def fused_lion8bit_update_transposed_packed(
     nbp = nb + pad
 
     kernel = functools.partial(
-        _lion_kernel_transposed, b1=float(b1), b2=float(b2)
+        _lion_kernel_transposed, b1=float(b1), b2=float(b2),
+        fast=_fast_compander(compander),
     )
     upd, new_codes, new_scales = pl.pallas_call(
         kernel,
@@ -326,6 +372,7 @@ def fused_lion8bit_update_transposed(
     mu_scale_dtype=jnp.float32,
     cols_per_tile: int = _DEFAULT_COLS,
     interpret: bool = None,
+    compander: str = "exact",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Fused update for one quantized leaf in the block-TRANSPOSED layout.
 
@@ -338,18 +385,19 @@ def fused_lion8bit_update_transposed(
     g2 = grad.reshape(nb, bs).T  # per-step relayout of the grads (f32)
     upd, new_codes, new_scales = fused_lion8bit_update_transposed_packed(
         g2, codes_t, scales_t, b1=b1, b2=b2, mu_scale_dtype=mu_scale_dtype,
-        cols_per_tile=cols_per_tile, interpret=interpret,
+        cols_per_tile=cols_per_tile, interpret=interpret, compander=compander,
     )
     return upd.T.reshape(grad.shape), new_codes, new_scales
 
 
 def _lion_kernel(g_ref, codes_ref, scales_ref, upd_ref, new_codes_ref,
-                 new_scales_ref, *, b1, b2, mu_dtype):
+                 new_scales_ref, *, b1, b2, mu_dtype, fast=False):
     g = g_ref[:].astype(jnp.float32)  # (rows, bs)
-    mu = _dequantize(codes_ref[:], jnp.float32) / scales_ref[:]
-
+    if fast:
+        mu = _dequantize_fast(codes_ref[:], 1.0 / scales_ref[:])
+    else:
+        mu = _dequantize(codes_ref[:], jnp.float32) / scales_ref[:]
     upd_ref[:] = jnp.sign((1.0 - b1) * g + b1 * mu).astype(upd_ref.dtype)
-
     mu_new = (1.0 - b2) * g + b2 * mu
     absmax = jnp.max(jnp.abs(mu_new), axis=-1, keepdims=True)
     scales = 1.0 / jnp.where(absmax <= 0.0, 1.0, absmax)
@@ -367,6 +415,7 @@ def fused_lion8bit_update(
     rows_per_tile: int = _DEFAULT_ROWS,
     interpret: bool = None,
     layout: str = "narrow",
+    compander: str = "exact",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Fused update for one quantized leaf.
 
@@ -387,6 +436,11 @@ def fused_lion8bit_update(
             f"layout='wide' requires block_size < 128 dividing 128, got {bs}"
         )
     if layout == "wide":
+        if _fast_compander(compander):
+            raise ValueError(
+                "compander='fast' is not implemented for the retired "
+                "'wide' layout"
+            )
         return _fused_wide(
             grad, codes, scales, b1=b1, b2=b2,
             mu_scale_dtype=mu_scale_dtype, rows_per_tile=rows_per_tile,
@@ -403,7 +457,8 @@ def fused_lion8bit_update(
     nbp = nb + pad
 
     kernel = functools.partial(
-        _lion_kernel, b1=float(b1), b2=float(b2), mu_dtype=mu_scale_dtype
+        _lion_kernel, b1=float(b1), b2=float(b2), mu_dtype=mu_scale_dtype,
+        fast=_fast_compander(compander),
     )
     upd, new_codes, new_scales = pl.pallas_call(
         kernel,

@@ -271,6 +271,8 @@ def scale_by_lion_8bit(
     use_pallas: Optional[bool] = None,
     dense_fsdp_factor: int = 1,
     bucket_max_nb: int = 0,
+    compander: str = "exact",
+    momentum_layout: str = "auto",
 ) -> optax.GradientTransformation:
     """Lion update direction with int8 block-quantized momentum.
 
@@ -300,11 +302,53 @@ def scale_by_lion_8bit(
     the concat/split copies cost less than the ~200 saved dispatch
     overheads, so the production default (TrainingConfig.lion_bucket_max_nb)
     is 65536 (bucket leaves <= 1M elements).
+
+    ``compander``: ``"exact"`` (default) reproduces the reference's
+    5th-power compander op-for-op (``/root/reference/lion_quant.py:49-92``,
+    bitwise vs the unmodified reference source). ``"fast"`` is an opt-in
+    reassociation of the SAME math with fewer full-width VPU ops — the
+    ``/127`` folded into one ``127^-5`` constant on the 5th power and the
+    full-width divide by the stored inverse-absmax scales replaced by a
+    multiply with a reciprocal taken on the 16x-smaller scales array —
+    applied identically in the Pallas kernels and this jnp path (update
+    signs and requantized codes stay bitwise pallas==jnp within the fast
+    mode; scales agree to ulp-level rounding, the same caveat the exact
+    mode's interpret parity carries), but NOT bitwise vs "exact":
+    elementwise values differ by rounding (ulps). Training equivalence is
+    covered by the fast-vs-exact golden loss-curve test; the on-chip win
+    is recorded in PERF_NOTES (round-5 Lion op-count surgery).
     """
+    if compander not in ("exact", "fast"):
+        raise ValueError(
+            f"unknown compander {compander!r}; use 'exact' or 'fast'"
+        )
+    fast = compander == "fast"
+    # momentum_layout="reference": store EVERY quantized leaf in the
+    # reference's own order — codes ``(n_blocks, block_size)``, scales
+    # ``(n_blocks, 1)`` (/root/reference/lion_quant.py:66-92) — and keep it
+    # through requantization. This is the STRICT-FAITHFUL benchmark anchor
+    # (bench.py's ref-strict leg): it measures the reference's actual
+    # storage layout, without the framework's dense/transposed relayout
+    # optimization the default anchor inherits. jnp path only.
+    if momentum_layout not in ("auto", "reference"):
+        raise ValueError(
+            f"unknown momentum_layout {momentum_layout!r}; "
+            "use 'auto' or 'reference'"
+        )
+    reference_layout = momentum_layout == "reference"
+    if reference_layout and (use_pallas or fast):
+        raise ValueError(
+            "momentum_layout='reference' is the strict-faithful anchor: "
+            "jnp path with the exact compander only"
+        )
+    if reference_layout:
+        use_pallas = False  # None would resolve to the Pallas path on TPU
     mu_scale_dtype = jax.dtypes.canonicalize_dtype(mu_scale_dtype)
     # mesh dispatch contexts, captured at CONSTRUCTION (see
     # set_lion_fsdp_mesh / set_lion_tp_mesh); mutually exclusive by
-    # train.states' routing (tp+fsdp momentum sharding keeps the jnp path)
+    # train.states' routing — tp+fsdp runs register the FSDP context only
+    # (momentum is fsdp-sharded, so the dim-0 shard_map dispatch applies
+    # unchanged; the Megatron grad reshard at its boundary is inherent)
     fsdp_ctx = _LION_FSDP_MESH
     tp_ctx = _LION_TP_MESH
     assert fsdp_ctx is None or tp_ctx is None, (
@@ -329,7 +373,9 @@ def scale_by_lion_8bit(
         # (update_fn passes it, incl. the storage's own tile height so a
         # non-canonical FSDP-aligned grouping round-trips shape-stable);
         # init-time callers omit them -> predicate + build-time grouping
-        if dense is None:
+        if reference_layout:
+            dense = False
+        elif dense is None:
             dense = _dense_ok(leaf.size, block_size)
         if dense:
             # dense: codes (size/128, 128), scales tile-grouped (see
@@ -350,6 +396,17 @@ def scale_by_lion_8bit(
             return codes, _scales_flat_to_dense(
                 scales, leaf.size // 128, gpr, r=dense_r
             )
+        if reference_layout:
+            # reference order: codes (n_blocks, block_size), scales
+            # (n_blocks, 1) — lion_quant.py:66-92 verbatim semantics
+            blocks = leaf.reshape(-1, block_size)
+            absmax = jnp.max(jnp.abs(blocks), axis=1, keepdims=True)
+            scales = 1 / jnp.where(
+                absmax <= 0.0,
+                jnp.ones_like(absmax, dtype=mu_scale_dtype),
+                absmax,
+            )
+            return _quantize(blocks * scales), scales
         # block-transposed: (block_size, n_blocks), scales (1, n_blocks)
         blocks = leaf.reshape(-1, block_size).T
         absmax = jnp.max(jnp.abs(blocks), axis=0, keepdims=True)
@@ -360,11 +417,34 @@ def scale_by_lion_8bit(
         return _quantize(blocks * scales), scales
 
     def _block_dequantize(shape_struct, codes: chex.Array, scales: chex.Array):
+        if fast:
+            # same reassociated op sequence as ops.lion_kernel's fast
+            # kernels (folded 127^-5, multiply by reciprocal scales) so
+            # pallas==jnp parity holds bitwise within the fast mode
+            from ..ops.lion_kernel import _dequantize_fast
+
+            if _is_dense(codes, scales):
+                nb = scales.size
+                bs = codes.size // nb
+                scales_flat = _scales_dense_to_flat(scales, codes.shape[0])
+                blocks = _dequantize_fast(
+                    codes.reshape(-1, bs), (1.0 / scales_flat)[:, None]
+                ).astype(mu_scale_dtype)
+                return blocks.reshape(shape_struct.shape)
+            blocks = _dequantize_fast(codes, 1.0 / scales).astype(
+                mu_scale_dtype
+            )
+            return blocks.T.reshape(shape_struct.shape)
         if _is_dense(codes, scales):
             nb = scales.size
             bs = codes.size // nb
             scales_flat = _scales_dense_to_flat(scales, codes.shape[0])
             blocks = _dequantize(codes.reshape(-1, bs)) / scales_flat[:, None]
+            return blocks.reshape(shape_struct.shape)
+        if _momentum_layout(codes, scales) == "narrow":
+            # reference order (momentum_layout="reference" / legacy
+            # checkpoints): (n_blocks, block_size) / (n_blocks, 1)
+            blocks = _dequantize(codes) / scales
             return blocks.reshape(shape_struct.shape)
         blocks = _dequantize(codes) / scales  # (block_size, n_blocks)
         return blocks.T.reshape(shape_struct.shape)
@@ -397,6 +477,11 @@ def scale_by_lion_8bit(
                     "quantization exclusion list"
                 )
             n_blocks = leaf.size // block_size
+            if reference_layout:
+                return (
+                    jnp.full((n_blocks, block_size), zero_code, jnp.int8),
+                    jnp.ones((n_blocks, 1), mu_scale_dtype),
+                )
             if _dense_ok(leaf.size, block_size):
                 x = leaf.size // 128
                 gpr = 128 // block_size
@@ -417,19 +502,27 @@ def scale_by_lion_8bit(
             mu_quant_flag=mask,
         )
 
+    def _lion_core(g, mu):
+        """Update direction + new momentum for one leaf. The fast
+        compander keeps these exact two-multiply lerps: the shared-lerp
+        rewrite ``g + b2*(mu - g)`` cancels catastrophically for fresh
+        momentum (|mu| << |g|, b2=0.99) — see the negative-result note in
+        ops.lion_kernel."""
+        return (
+            jnp.sign((1.0 - b1) * g + b1 * mu),
+            (1 - b2) * g + b2 * mu,
+        )
+
     def _jnp_leaf(g, m, shape):
         """One leaf of the jnp (XLA-fused, GSPMD-partitionable) update:
         returns (update_direction, new_momentum)."""
         if not _is_quantized(m):
-            return (
-                jnp.sign((1.0 - b1) * g + b1 * m),
-                (1 - b2) * g + b2 * m,
-            )
+            return _lion_core(g, m)
         dense = _is_dense(*m)
         mu = _block_dequantize(shape, *m)
-        upd = jnp.sign((1.0 - b1) * g + b1 * mu)
+        upd, mu_new = _lion_core(g, mu)
         new_m = _block_quantize(
-            (1 - b2) * g + b2 * mu,
+            mu_new,
             dense=dense,
             dense_r=m[1].shape[1] if dense else None,
         )
@@ -493,6 +586,7 @@ def scale_by_lion_8bit(
                 local = functools.partial(
                     fused_lion8bit_update_dense,
                     b1=b1, b2=b2, mu_scale_dtype=mu_scale_dtype,
+                    compander=compander,
                 )
                 upd, new_codes, new_scales = jax.shard_map(
                     local,
@@ -506,10 +600,7 @@ def scale_by_lion_8bit(
 
             def _fused(g, m, shape):
                 if not _is_quantized(m):
-                    return (
-                        jnp.sign((1.0 - b1) * g + b1 * m),
-                        (1 - b2) * g + b2 * m,
-                    )
+                    return _lion_core(g, m)
                 codes, scales = m
                 if fsdp_ctx is not None:
                     mesh, axis = fsdp_ctx
@@ -530,7 +621,7 @@ def scale_by_lion_8bit(
                 )
                 upd, new_codes, new_scales = fused_update(
                     g, codes, scales, b1=b1, b2=b2,
-                    mu_scale_dtype=mu_scale_dtype,
+                    mu_scale_dtype=mu_scale_dtype, compander=compander,
                 )
                 return upd, (new_codes, new_scales)
 
@@ -576,7 +667,7 @@ def scale_by_lion_8bit(
                     s_t = jnp.concatenate([flat_m[i][1] for i in idxs], axis=1)
                     upd_t, nc, ns = fused_lion8bit_update_transposed_packed(
                         g_t, c_t, s_t, b1=b1, b2=b2,
-                        mu_scale_dtype=mu_scale_dtype,
+                        mu_scale_dtype=mu_scale_dtype, compander=compander,
                     )
                     off = 0
                     for i in idxs:
@@ -615,7 +706,7 @@ def scale_by_lion_8bit(
                     s_d = _scales_flat_to_dense(s_flat, x_sum, gpr, r=r_pack)
                     upd_d, nc_d, ns_d = fused_lion8bit_update_dense(
                         g_d, c_d, s_d, b1=b1, b2=b2,
-                        mu_scale_dtype=mu_scale_dtype,
+                        mu_scale_dtype=mu_scale_dtype, compander=compander,
                     )
                     ns_flat = _scales_dense_to_flat(ns_d, x_sum)
                     row_off = 0
@@ -681,6 +772,8 @@ def lion_8bit(
     use_pallas: Optional[bool] = None,
     dense_fsdp_factor: int = 1,
     bucket_max_nb: int = 0,
+    compander: str = "exact",
+    momentum_layout: str = "auto",
 ) -> optax.GradientTransformation:
     """Lion with int8 momentum: quantized-Lion -> decoupled weight decay -> lr.
 
@@ -699,6 +792,8 @@ def lion_8bit(
             use_pallas=use_pallas,
             dense_fsdp_factor=dense_fsdp_factor,
             bucket_max_nb=bucket_max_nb,
+            compander=compander,
+            momentum_layout=momentum_layout,
         ),
         optax.add_decayed_weights(weight_decay, mask),
         optax.scale_by_learning_rate(learning_rate),

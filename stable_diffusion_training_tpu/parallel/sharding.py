@@ -60,20 +60,21 @@ def params_fsdp_sharding(tree: Any, mesh: Mesh, axis: str = "fsdp"):
     )
 
 
-def train_state_fsdp_sharding(state, mesh: Mesh, axis: str = "fsdp"):
-    """FSDP shardings for a full TrainState, with param + quantized-momentum
-    leaves CO-SHARDED dim-0 wherever the fused Pallas Lion can run
-    shard_map'd (``optim.lion8bit.fsdp_dense_eligible`` — the same predicate
-    the optimizer's update dispatch uses, so placement and execution agree
-    by construction). For such a leaf the param/grad shard is a contiguous
-    flat range, the dense codes shard is the matching row range, and the
+def _lion_fsdp_plan(state, mesh: Mesh, axis: str = "fsdp"):
+    """Shared FSDP momentum plan for the quantized Lion state: returns
+    ``(eligible_fn, opt_state_shardings)`` or ``None`` when the state has no
+    Lion node (or the axis is trivial).
+
+    Dense-eligible momentum leaves (``optim.lion8bit.fsdp_dense_eligible`` —
+    the same predicate the optimizer's update dispatch uses, so placement
+    and execution agree by construction) are CO-SHARDED dim-0: the dense
+    codes shard is the param's matching contiguous flat row range and the
     tile-grouped scales shard the matching tile range — each device holds a
-    self-contained dense layout and the kernel needs zero collectives.
+    self-contained dense layout the unmodified kernel consumes locally.
     Everything else follows the generic largest-divisible-dim rule."""
-    generic = params_fsdp_sharding(state, mesh, axis)
     n = _axis_size(mesh, axis)
     if n <= 1 or not hasattr(state, "params"):
-        return generic
+        return None
     from ..optim import lion8bit as l8
 
     def _is_lion(node):
@@ -85,27 +86,12 @@ def train_state_fsdp_sharding(state, mesh: Mesh, axis: str = "fsdp"):
         if _is_lion(x)
     ]
     if not lions:
-        return generic
-
-    mu = lions[0].mu_quant
+        return None
 
     def _eligible(param, m):
         return l8._is_quantized(m) and l8.fsdp_dense_eligible(
             param.shape, m[0].shape, m[1].shape, n
         )
-
-    def _dim0(leaf):
-        return NamedSharding(
-            mesh, PartitionSpec(axis, *([None] * (leaf.ndim - 1)))
-        )
-
-    params_sh = jax.tree_util.tree_map(
-        lambda p, m: _dim0(p)
-        if _eligible(p, m)
-        else params_fsdp_sharding(p, mesh, axis),
-        state.params,
-        mu,
-    )
 
     def _mu_sh(p, m):
         if _eligible(p, m):
@@ -124,6 +110,34 @@ def train_state_fsdp_sharding(state, mesh: Mesh, axis: str = "fsdp"):
 
     opt_sh = jax.tree_util.tree_map(
         _opt_node, state.opt_state, is_leaf=_is_lion
+    )
+    return _eligible, lions[0].mu_quant, opt_sh
+
+
+def train_state_fsdp_sharding(state, mesh: Mesh, axis: str = "fsdp"):
+    """FSDP shardings for a full TrainState, with param + quantized-momentum
+    leaves CO-SHARDED dim-0 wherever the fused Pallas Lion can run
+    shard_map'd (``_lion_fsdp_plan``). For such a leaf the param/grad shard
+    is a contiguous flat range matching the momentum shard, so the kernel
+    needs zero collectives. Everything else follows the generic
+    largest-divisible-dim rule."""
+    generic = params_fsdp_sharding(state, mesh, axis)
+    plan = _lion_fsdp_plan(state, mesh, axis)
+    if plan is None:
+        return generic
+    eligible, mu, opt_sh = plan
+
+    def _dim0(leaf):
+        return NamedSharding(
+            mesh, PartitionSpec(axis, *([None] * (leaf.ndim - 1)))
+        )
+
+    params_sh = jax.tree_util.tree_map(
+        lambda p, m: _dim0(p)
+        if eligible(p, m)
+        else params_fsdp_sharding(p, mesh, axis),
+        state.params,
+        mu,
     )
     return generic.replace(params=params_sh, opt_state=opt_sh)
 
@@ -164,12 +178,22 @@ def train_state_tp_sharding(
     state, mesh: Mesh, axis: str = "model_parallel", fsdp_rest: bool = False
 ):
     """Shardings for a full TrainState under tensor parallelism: Megatron
-    specs on ``params``; optimizer state (incl. quantized momentum block
-    layouts, which don't align with tensor dims) and counters follow the
-    FSDP rule or stay replicated."""
-    rest = (
-        params_fsdp_sharding(state, mesh)
-        if fsdp_rest
-        else replicated_tree(state, mesh)
-    )
+    specs on ``params``; optimizer state and counters stay replicated, or —
+    with ``fsdp_rest`` (tp+fsdp runs) — follow the FSDP rule, with
+    dense-eligible quantized momentum dim-0 co-sharded over ``fsdp``
+    (``_lion_fsdp_plan``, the same plan pure-FSDP placement uses) so the
+    fused Pallas Lion runs shard_map'd on local momentum shards. Unlike
+    pure FSDP the params keep their Megatron specs, so GSPMD reshards each
+    grad leaf Megatron->dim-0 at the optimizer boundary — an inherent cost
+    both the fused and jnp paths pay, since new momentum must land
+    fsdp-sharded either way (tests/test_parallel.py::TestTPFSDPFusedLion)."""
+    if not fsdp_rest:
+        rest = replicated_tree(state, mesh)
+        return rest.replace(
+            params=params_tp_sharding(state.params, mesh, axis)
+        )
+    rest = params_fsdp_sharding(state, mesh)
+    plan = _lion_fsdp_plan(state, mesh)
+    if plan is not None:
+        rest = rest.replace(opt_state=plan[2])
     return rest.replace(params=params_tp_sharding(state.params, mesh, axis))

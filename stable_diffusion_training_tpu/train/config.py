@@ -78,6 +78,18 @@ class TrainingConfig:
     # (p50 684.5 -> 675.6 ms) — the concat/split copies cost less than the
     # ~200 saved dispatch overheads. 0 disables (per-leaf dispatches).
     lion_bucket_max_nb: int = 65536
+    # 8-bit Lion compander math: "exact" reproduces the reference's
+    # 5th-power compander op-for-op (bitwise vs lion_quant.py); "fast" is
+    # the opt-in reassociated form with fewer full-width VPU ops (folded
+    # /127 constant, reciprocal-multiply instead of divide) — NOT bitwise
+    # vs exact (ulp-level), training-equivalent (golden loss-curve
+    # tested). See optim.lion8bit.scale_by_lion_8bit.
+    lion_compander: str = "exact"
+    # momentum storage layout: "auto" (default — the framework's dense /
+    # block-transposed TPU layouts, chosen per leaf) or "reference" (the
+    # reference's own (n_blocks, block_size) order, lion_quant.py:66-92 —
+    # the STRICT-FAITHFUL benchmark anchor; jnp path + exact compander only)
+    lion_momentum_layout: str = "auto"
     # the reference ignores the configured learning rates and scale factor
     # (on_device_model_training_state hardcodes scale 7 and the 1e-6 LR
     # defaults — training_utils.py:432-442) and implements only a constant

@@ -223,6 +223,8 @@ def create_lion_optimizer_states(
     lr_decay_steps: int = 0,
     dense_fsdp_factor: int = 1,
     bucket_max_nb: int = 0,
+    compander: str = "exact",
+    momentum_layout: str = "auto",
 ) -> dict:
     """Build clip(1) -> Lion(8-bit or dense) TrainStates on CPU.
 
@@ -263,6 +265,8 @@ def create_lion_optimizer_states(
                 use_pallas=use_pallas_lion,
                 dense_fsdp_factor=dense_fsdp_factor,
                 bucket_max_nb=bucket_max_nb,
+                compander=compander,
+                momentum_layout=momentum_layout,
             )
         else:
             lion = optax.lion(
@@ -344,12 +348,15 @@ def on_device_model_training_state(
     #   and eligible leaves run the kernel inside shard_map with zero
     #   collectives (optim.lion8bit.set_lion_fsdp_mesh); shard-misaligned
     #   leaves take the XLA-fused jnp path, which GSPMD partitions
-    #   elementwise. Under TP (momentum replicated) every quantized leaf
-    #   runs the kernel inside an ALL-replicated shard_map
+    #   elementwise. Under TP-only (momentum replicated) every quantized
+    #   leaf runs the kernel inside an ALL-replicated shard_map
     #   (optim.lion8bit.set_lion_tp_mesh — collective-neutral with the jnp
-    #   path, see the _LION_TP_MESH rationale). The one remaining fallback
-    #   combo is tp+fsdp momentum sharding, whose generic largest-dim
-    #   momentum shards don't align with the flat block layout.
+    #   path, see the _LION_TP_MESH rationale). tp+fsdp keeps the FSDP
+    #   momentum plan: dense-eligible momentum is dim-0 co-sharded over
+    #   fsdp (parallel.sharding.train_state_tp_sharding fsdp_rest) and runs
+    #   the same shard_map'd kernel — GSPMD reshards each Megatron grad to
+    #   dim-0 at the optimizer boundary, an inherent cost the jnp path pays
+    #   too since new momentum must land fsdp-sharded either way.
     from ..optim.lion8bit import set_lion_fsdp_mesh, set_lion_tp_mesh
     from ..ops.attention import set_attention_mesh
 
@@ -361,11 +368,9 @@ def on_device_model_training_state(
         set_attention_mesh(mesh)
     else:
         set_attention_mesh(None)  # idempotent across runs in one process
-    set_lion_fsdp_mesh(mesh if (fsdp and not tp) else None)
+    set_lion_fsdp_mesh(mesh if fsdp else None)
     set_lion_tp_mesh(mesh if (tp and not fsdp) else None)
     use_pallas_lion = training_config.use_pallas_lion
-    if use_pallas_lion is None and tp and fsdp:
-        use_pallas_lion = False
     dense_fsdp_factor = mesh_sizes.get("fsdp", 1) if fsdp else 1
 
     models = load_models(training_config=training_config)
@@ -400,6 +405,8 @@ def on_device_model_training_state(
         use_pallas_lion=use_pallas_lion,
         dense_fsdp_factor=dense_fsdp_factor,
         bucket_max_nb=training_config.lion_bucket_max_nb,
+        compander=training_config.lion_compander,
+        momentum_layout=training_config.lion_momentum_layout,
     )
     if not training_config.train_text_encoder:
         # frozen text encoder (SDXL-scale runs, BASELINE config 5): keep the

@@ -191,3 +191,81 @@ def test_small_leaf_bucketing_bitwise():
     for a, b in zip(jax.tree_util.tree_leaves((u1b, u2b, sb.mu_quant)),
                     jax.tree_util.tree_leaves((u1p, u2p, sp.mu_quant))):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestReferenceMomentumLayout:
+    """momentum_layout="reference" — the strict-faithful benchmark anchor
+    (VERDICT round-4 item 4): every quantized leaf stored in the reference's
+    own (n_blocks, block_size) codes + (n_blocks, 1) scales order
+    (/root/reference/lion_quant.py:66-92), jnp path + exact compander only.
+    Block membership and math are identical to the auto layouts, so update
+    values must agree with the default jnp path."""
+
+    def _setup(self):
+        rs = np.random.RandomState(7)
+        params = {
+            "dense": jnp.asarray(rs.randn(32, 64).astype(np.float32)),
+            "odd": jnp.asarray(rs.randn(10, 16).astype(np.float32)),
+        }
+        mask = {"dense": True, "odd": True}
+        g1 = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(rs.randn(*x.shape).astype(np.float32)),
+            params,
+        )
+        g2 = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(rs.randn(*x.shape).astype(np.float32)),
+            params,
+        )
+        return params, mask, g1, g2
+
+    def test_reference_layout_shapes(self):
+        params, mask, _, _ = self._setup()
+        tx = scale_by_lion_8bit(
+            block_size=16, excluded_layer_mask=mask,
+            momentum_layout="reference",
+        )
+        s = tx.init(params)
+        codes, scales = s.mu_quant["dense"]
+        assert codes.shape == (2048 // 16, 16)
+        assert scales.shape == (2048 // 16, 1)
+        codes, scales = s.mu_quant["odd"]
+        assert codes.shape == (160 // 16, 16)
+        assert scales.shape == (160 // 16, 1)
+
+    def test_reference_layout_values_match_auto(self):
+        params, mask, g1, g2 = self._setup()
+
+        def run(**kw):
+            tx = scale_by_lion_8bit(
+                block_size=16, excluded_layer_mask=mask, use_pallas=False,
+                **kw,
+            )
+            s = tx.init(params)
+            u1, s = tx.update(g1, s)
+            u2, s = tx.update(g2, s)
+            return u1, u2, s
+
+        u1r, u2r, sr = run(momentum_layout="reference")
+        u1a, u2a, sa = run()
+        for k in params:
+            np.testing.assert_array_equal(np.asarray(u1r[k]), np.asarray(u1a[k]))
+            np.testing.assert_array_equal(np.asarray(u2r[k]), np.asarray(u2a[k]))
+            # same momentum values through the reference-view relayout
+            from stable_diffusion_training_tpu.optim.lion8bit import (
+                momentum_to_reference_layout,
+            )
+
+            cr, sr_ = momentum_to_reference_layout(sr.mu_quant[k])
+            ca, sa_ = momentum_to_reference_layout(sa.mu_quant[k])
+            np.testing.assert_array_equal(np.asarray(cr), np.asarray(ca))
+            np.testing.assert_allclose(
+                np.asarray(sr_), np.asarray(sa_), rtol=1e-6
+            )
+
+    def test_reference_layout_guards(self):
+        with pytest.raises(ValueError, match="strict-faithful"):
+            scale_by_lion_8bit(momentum_layout="reference", use_pallas=True)
+        with pytest.raises(ValueError, match="strict-faithful"):
+            scale_by_lion_8bit(momentum_layout="reference", compander="fast")
+        with pytest.raises(ValueError, match="momentum_layout"):
+            scale_by_lion_8bit(momentum_layout="narrow")

@@ -270,3 +270,112 @@ def test_dense_zero_block_guard():
         interpret=True,
     )
     np.testing.assert_array_equal(np.asarray(upd), np.asarray(upd_t))
+
+
+class TestFastCompander:
+    """compander="fast": reassociated Lion math (folded 127^-5 constant,
+    reciprocal-multiply dequant, shared-lerp). Pallas and jnp must agree
+    bitwise WITHIN the fast mode (same op sequence both paths); fast vs
+    exact differs only at rounding level (codes within one step, sign
+    flips only where the Lion direction is at a rounding boundary)."""
+
+    def _tree(self, seed=3):
+        rng = np.random.RandomState(seed)
+        params = {
+            "dense": jnp.asarray(rng.randn(32, 64).astype(np.float32)),  # 2048
+            "odd": jnp.asarray(rng.randn(10, 16).astype(np.float32)),    # 160
+            "plain": jnp.asarray(rng.randn(24).astype(np.float32)),
+        }
+        mask = {"dense": True, "odd": True, "plain": False}
+        g = jax.tree.map(
+            lambda x: jnp.asarray(
+                rng.randn(*x.shape).astype(np.float32) * 1e-3
+            ),
+            params,
+        )
+        return params, mask, g
+
+    def test_fast_pallas_matches_fast_jnp_bitwise(self):
+        params, mask, g = self._tree()
+        tx_j = scale_by_lion_8bit(
+            block_size=16, excluded_layer_mask=mask, use_pallas=False,
+            compander="fast",
+        )
+        tx_p = scale_by_lion_8bit(
+            block_size=16, excluded_layer_mask=mask, use_pallas=True,
+            compander="fast",
+        )
+        s_j, s_p = tx_j.init(params), tx_p.init(params)
+        for _ in range(3):
+            u_j, s_j = tx_j.update(g, s_j)
+            u_p, s_p = tx_p.update(g, s_p)
+        for a, b in zip(jax.tree.leaves(u_j), jax.tree.leaves(u_p)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for k in ("dense", "odd"):
+            np.testing.assert_array_equal(
+                np.asarray(s_j.mu_quant[k][0]), np.asarray(s_p.mu_quant[k][0])
+            )
+            np.testing.assert_allclose(
+                np.asarray(s_j.mu_quant[k][1]),
+                np.asarray(s_p.mu_quant[k][1]),
+                rtol=1e-6,
+            )
+
+    def test_fast_bucketed_matches_unbucketed(self):
+        """Small-leaf bucketing composes with the fast compander bitwise."""
+        params, mask, g = self._tree(seed=4)
+        tx_a = scale_by_lion_8bit(
+            block_size=16, excluded_layer_mask=mask, use_pallas=True,
+            compander="fast", bucket_max_nb=0,
+        )
+        tx_b = scale_by_lion_8bit(
+            block_size=16, excluded_layer_mask=mask, use_pallas=True,
+            compander="fast", bucket_max_nb=65536,
+        )
+        s_a, s_b = tx_a.init(params), tx_b.init(params)
+        for _ in range(2):
+            u_a, s_a = tx_a.update(g, s_a)
+            u_b, s_b = tx_b.update(g, s_b)
+        for a, b in zip(jax.tree.leaves(u_a), jax.tree.leaves(u_b)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_fast_close_to_exact(self):
+        """fast vs exact: update signs flip only at rounding boundaries
+        (none on generic random data) and requantized codes move by at
+        most one step."""
+        params, mask, g = self._tree(seed=5)
+        tx_e = scale_by_lion_8bit(
+            block_size=16, excluded_layer_mask=mask, use_pallas=False,
+            compander="exact",
+        )
+        tx_f = scale_by_lion_8bit(
+            block_size=16, excluded_layer_mask=mask, use_pallas=False,
+            compander="fast",
+        )
+        s_e, s_f = tx_e.init(params), tx_f.init(params)
+        for _ in range(5):
+            u_e, s_e = tx_e.update(g, s_e)
+            u_f, s_f = tx_f.update(g, s_f)
+        for a, b in zip(jax.tree.leaves(u_e), jax.tree.leaves(u_f)):
+            a, b = np.asarray(a), np.asarray(b)
+            flip_frac = float(np.mean(a != b))
+            assert flip_frac <= 1e-3, flip_frac
+        for k in ("dense", "odd"):
+            ce = np.asarray(s_e.mu_quant[k][0], np.int32)
+            cf = np.asarray(s_f.mu_quant[k][0], np.int32)
+            assert int(np.max(np.abs(ce - cf))) <= 1
+
+    def test_unknown_compander_raises(self):
+        with pytest.raises(ValueError, match="compander"):
+            scale_by_lion_8bit(compander="approximate")
+        from stable_diffusion_training_tpu.ops.lion_kernel import (
+            fused_lion8bit_update_dense,
+        )
+        with pytest.raises(ValueError, match="compander"):
+            fused_lion8bit_update_dense(
+                jnp.zeros((2048,)),
+                jnp.zeros((16, 128), jnp.int8),
+                jnp.ones((16, 8), jnp.float32),
+                interpret=True,
+                compander="approximate",
+            )

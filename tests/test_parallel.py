@@ -850,3 +850,201 @@ class TestTPFusedLion:
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=0, atol=2e-5
             )
+
+
+class TestTPFSDPFusedLion:
+    """The tp+fsdp combo (VERDICT round-4 item 5): params carry Megatron
+    specs while optimizer momentum is fsdp-sharded. Dense-eligible momentum
+    leaves keep the dim-0 co-sharded plan (parallel.sharding._lion_fsdp_plan
+    — the same plan pure FSDP uses) and run the shard_map'd fused Pallas
+    kernel; GSPMD reshards each Megatron grad to dim-0 at the optimizer
+    boundary, an inherent cost the jnp path pays too (new momentum must land
+    fsdp-sharded either way) — verified below by comparing collective
+    op counts between the two optimized HLOs."""
+
+    @pytest.fixture(autouse=True)
+    def _reset_lion_meshes(self):
+        from stable_diffusion_training_tpu.optim.lion8bit import (
+            set_lion_fsdp_mesh,
+            set_lion_tp_mesh,
+        )
+
+        yield
+        set_lion_fsdp_mesh(None)
+        set_lion_tp_mesh(None)
+
+    @pytest.fixture(scope="class")
+    def tpfsdp_mesh(self, cpu_devices):
+        return mesh_lib.create_mesh(
+            shape=(2, 2, 2),
+            axis_names=("data_parallel", "fsdp", "model_parallel"),
+        )
+
+    def test_tp_fsdp_placement_cosharded_momentum(self, tpfsdp_mesh):
+        """train_state_tp_sharding(fsdp_rest=True): Megatron specs on
+        params, dim-0 fsdp co-sharding on eligible quantized momentum."""
+        from flax.training import train_state
+
+        from stable_diffusion_training_tpu.optim import lion_8bit
+
+        params = {
+            "attn": {"to_q": {"kernel": jnp.zeros((64, 512))}},  # Megatron col
+            "conv": {"kernel": jnp.zeros((3, 3, 8, 8))},         # generic rule
+        }
+        tx = lion_8bit(
+            1e-2, block_size=16, excluded_layer_mask=True,
+            dense_fsdp_factor=2,
+        )
+        state = train_state.TrainState.create(
+            apply_fn=None, params=params, tx=tx
+        )
+        sh = train_state_tp_sharding(state, tpfsdp_mesh, fsdp_rest=True)
+        # params: Megatron column spec, NOT fsdp
+        assert sh.params["attn"]["to_q"]["kernel"].spec == PartitionSpec(
+            None, "model_parallel"
+        )
+        # eligible momentum: dim-0 fsdp co-sharded (same plan as pure FSDP)
+        mu = sh.opt_state[0].mu_quant["attn"]["to_q"]["kernel"]
+        assert mu[0].spec == PartitionSpec("fsdp", None)
+        assert mu[1].spec == PartitionSpec("fsdp", None)
+        # placement materializes
+        placed = jax.tree_util.tree_map(
+            lambda leaf, s: jax.device_put(leaf, s), state, sh
+        )
+        got = placed.opt_state[0].mu_quant["attn"]["to_q"]["kernel"][0]
+        assert got.sharding.spec == PartitionSpec("fsdp", None)
+
+    def test_tp_fsdp_fused_lion_bitwise_parity_collective_neutral(
+        self, tpfsdp_mesh
+    ):
+        """Megatron-sharded grads + fsdp-sharded momentum: the shard_map'd
+        Pallas update is bitwise-equal to the meshless jnp reference and
+        emits no MORE collectives than the GSPMD jnp path on the very same
+        shardings (the Megatron->dim-0 grad reshard is inherent)."""
+        import re
+
+        from jax.sharding import NamedSharding
+
+        from stable_diffusion_training_tpu.optim.lion8bit import (
+            scale_by_lion_8bit,
+            set_lion_fsdp_mesh,
+        )
+
+        rs = np.random.RandomState(0)
+        mk = lambda shape: jnp.asarray(rs.randn(*shape).astype(np.float32))
+        params = {"qkv": mk((64, 512)), "out": mk((32, 512))}
+        g1 = {"qkv": mk((64, 512)), "out": mk((32, 512))}
+        g2 = {"qkv": mk((64, 512)), "out": mk((32, 512))}
+
+        # meshless jnp reference (ground truth values)
+        tx_ref = scale_by_lion_8bit(
+            block_size=16, excluded_layer_mask=True, use_pallas=False,
+            dense_fsdp_factor=2,
+        )
+        ref_state = tx_ref.init(params)
+        ref_u1, ref_state = tx_ref.update(g1, ref_state)
+        ref_u2, ref_state = tx_ref.update(g2, ref_state)
+
+        fsdp_sh = NamedSharding(tpfsdp_mesh, PartitionSpec("fsdp", None))
+        col = NamedSharding(
+            tpfsdp_mesh, PartitionSpec(None, "model_parallel")
+        )
+        row = NamedSharding(
+            tpfsdp_mesh, PartitionSpec("model_parallel", None)
+        )
+        put_g = lambda g: {
+            "qkv": jax.device_put(g["qkv"], col),
+            "out": jax.device_put(g["out"], row),
+        }
+        put_mu = lambda t: jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, fsdp_sh)
+            if getattr(x, "ndim", 0) == 2
+            else x,
+            t,
+        )
+
+        def n_collectives(hlo: str) -> int:
+            return len(
+                re.findall(
+                    r"\b(?:all-gather|all-reduce|collective-permute"
+                    r"|all-to-all|reduce-scatter)\b",
+                    hlo,
+                )
+            )
+
+        results = {}
+        hlos = {}
+        for use_pallas in (True, False):
+            set_lion_fsdp_mesh(tpfsdp_mesh if use_pallas else None)
+            tx = scale_by_lion_8bit(
+                block_size=16, excluded_layer_mask=True,
+                use_pallas=use_pallas, dense_fsdp_factor=2,
+            )
+            set_lion_fsdp_mesh(None)
+            state = tx.init(params)
+            state = state._replace(mu_quant=put_mu(state.mu_quant))
+            update = jax.jit(tx.update)
+            hlos[use_pallas] = update.lower(
+                put_g(g1), state
+            ).compile().as_text()
+            u1, state = update(put_g(g1), state)
+            u2, state = update(put_g(g2), state)
+            results[use_pallas] = (u1, u2, state)
+
+        for k in ("qkv", "out"):
+            for use_pallas in (True, False):
+                u1, u2, state = results[use_pallas]
+                np.testing.assert_array_equal(
+                    np.asarray(u1[k]), np.asarray(ref_u1[k])
+                )
+                np.testing.assert_array_equal(
+                    np.asarray(u2[k]), np.asarray(ref_u2[k])
+                )
+                np.testing.assert_array_equal(
+                    np.asarray(state.mu_quant[k][0]),
+                    np.asarray(ref_state.mu_quant[k][0]),
+                )
+                # scales at 1e-6 rtol: XLA:CPU fuses the momentum FMA
+                # differently across compilation instances (same convention
+                # as the FSDP/TP parity tests above)
+                np.testing.assert_allclose(
+                    np.asarray(state.mu_quant[k][1]),
+                    np.asarray(ref_state.mu_quant[k][1]),
+                    rtol=1e-6,
+                )
+        assert n_collectives(hlos[True]) <= n_collectives(hlos[False]), (
+            "tp+fsdp fused Lion emitted MORE collectives than the jnp path:"
+            f" {n_collectives(hlos[True])} vs {n_collectives(hlos[False])}"
+        )
+
+    @pytest.mark.slow  # two full fused-step compiles on the 2x2x2 virtual mesh
+    def test_tp_fsdp_train_step_pallas_matches_jnp(self, cpu_devices):
+        """Full tp+fsdp train step with the shard_map'd Pallas optimizer
+        matches the GSPMD jnp path to whole-program reordering tolerance
+        (same bound and rationale as TestTPFusedLion's full-step test:
+        swapping the optimizer implementation changes GSPMD's partitioning
+        of reductions upstream of the optimizer)."""
+        mesh = mesh_lib.create_mesh(
+            shape=(2, 2, 2),
+            axis_names=("data_parallel", "fsdp", "model_parallel"),
+        )
+
+        def run(use_pallas):
+            cfg = _tiny_tp_config(tp=True)
+            cfg.fsdp_shard_params = True
+            cfg.use_pallas_lion = use_pallas
+            return _one_tp_step(mesh, tp=True, cfg=cfg)
+
+        state_pallas, loss_pallas = run(True)
+        state_jnp, loss_jnp = run(False)
+        assert np.isfinite(loss_pallas)
+        assert abs(loss_pallas - loss_jnp) <= 4 * np.spacing(
+            np.float32(loss_jnp)
+        ), (loss_pallas, loss_jnp)
+        for a, b in zip(
+            jax.tree.leaves(state_pallas.params),
+            jax.tree.leaves(state_jnp.params),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=0, atol=2e-5
+            )
