@@ -44,24 +44,30 @@ import time
 import jax
 import numpy as np
 
+_T_START = time.monotonic()
+
 # images/sec/chip recorded for this benchmark's first honest (value-synced)
 # round-1 run on the target chip (v5e, SD1.5 512² batch 8 bf16: p50 717ms);
 # fallback anchor when the reference-style leg is skipped.
 RECORDED_BASELINE = float(os.environ.get("BENCH_BASELINE", "0")) or 11.2
 
-# BASELINE.md configs 3-5 measured on this rig (v5e via axon, 2026-08-17,
-# round-3 dense-Lion stack, BENCH_CONFIGS=3,4,5 runs — PERF_NOTES.md).
-# Attached to the headline record so the one-line bench artifact carries
-# them; a live BENCH_CONFIGS run prints fresh lines that supersede these.
+# BASELINE.md configs 3-5, last measured on this rig (v5e via axon —
+# PERF_NOTES.md; config-3 is the round-4 FF-remat-b8 remat-ladder winner,
+# the others are the round-3 captures). FALLBACK ONLY: by default the bench
+# now re-runs these legs live within BENCH_TIME_BUDGET_S and embeds the
+# fresh numbers in the headline record ("fresh": true); a leg that doesn't
+# fit the budget or fails falls back to its entry here, marked
+# "fresh": false with its capture date.
 RECORDED_CONFIG_LEGS = {
-    "3_sd21_768": {"images_per_sec_per_chip": 8.25, "batch_size": 6,
-                   "mfu": 0.32},
-    "3_sd21_768_latent_cached": {"images_per_sec_per_chip": 11.43,
-                                 "batch_size": 8, "mfu": 0.284},
+    "3_sd21_768": {"images_per_sec_per_chip": 8.85, "batch_size": 8,
+                   "mfu": 0.33, "ff_remat": True,
+                   "recorded_on": "2026-08-18"},
     "4_sdxl_1024_gradckpt_cached": {"images_per_sec_per_chip": 3.01,
-                                    "batch_size": 4, "mfu": 0.416},
+                                    "batch_size": 4, "mfu": 0.416,
+                                    "recorded_on": "2026-08-17"},
     "5_sdxl_1024_cached": {"images_per_sec_per_chip": 2.92,
-                           "batch_size": 2, "mfu": 0.321},
+                           "batch_size": 2, "mfu": 0.321,
+                           "recorded_on": "2026-08-17"},
 }
 
 # bf16 peak TFLOP/s per chip by device kind substring
@@ -222,9 +228,11 @@ def _measured_hbm_bandwidth(mb: int = 256) -> float:
 def _build_config(
     family, batch, res, reference_style,
     cached=False, frozen_te=False, grad_ckpt=None, ff_remat=None,
+    ref_strict=False,
 ):
     from stable_diffusion_training_tpu.train import TrainingConfig
 
+    reference_style = reference_style or ref_strict
     if grad_ckpt is None:
         grad_ckpt = os.environ.get("BENCH_GRAD_CKPT", "") == "1"
     if ff_remat is None:
@@ -283,6 +291,28 @@ def _build_config(
             if reference_style
             else int(os.environ.get("BENCH_LION_BUCKET", "65536"))
         ),
+        # BENCH_LION_COMPANDER=fast A/Bs the reassociated Lion compander at
+        # step level (reference-style legs always use the exact reference
+        # math — the anchor must stay bitwise vs lion_quant.py)
+        lion_compander=(
+            "exact"
+            if reference_style
+            else os.environ.get("BENCH_LION_COMPANDER", "exact")
+        ),
+        # STRICT-FAITHFUL anchor (ref_strict): additionally store momentum
+        # in the reference's own (n_blocks, 16) narrow order
+        # (/root/reference/lion_quant.py:66-92) instead of the framework's
+        # dense/transposed TPU layouts, which the plain reference-style leg
+        # inherits. Reported as ref_strict_* / vs_baseline_strict.
+        lion_momentum_layout="reference" if ref_strict else "auto",
+        # BENCH_VAE_POLY=1 A/Bs the polyphase stride-2 VAE downsample
+        # (ops.conv) at step level; reference-style legs keep the fused
+        # stride-2 form the reference's XLA trace produces
+        vae_polyphase_downsample=(
+            False
+            if reference_style
+            else os.environ.get("BENCH_VAE_POLY", "") == "1"
+        ),
         # BENCH_GRAD_CKPT=1 remats the UNet blocks (bigger batches fit HBM);
         # BENCH_FF_REMAT=1 remats only the GEGLU feed-forwards (cheaper)
         gradient_checkpointing=grad_ckpt,
@@ -318,6 +348,7 @@ def synthetic_cached_batch(batch, res, ctx_len=227, ctx_dim=2048,
 def run_leg(
     family, batch, res, steps, reference_style,
     cached=False, frozen_te=False, grad_ckpt=None, ff_remat=None,
+    ref_strict=False,
 ):
     """Measure one variant of the fused train step. Returns a metrics dict.
 
@@ -338,7 +369,7 @@ def run_leg(
     cfg = _build_config(
         family, batch, res, reference_style,
         cached=cached, frozen_te=frozen_te, grad_ckpt=grad_ckpt,
-        ff_remat=ff_remat,
+        ff_remat=ff_remat, ref_strict=ref_strict,
     )
     (unet_state, te_state, _, _, frozen_vae, frozen_sched, _) = (
         on_device_model_training_state(cfg)
@@ -687,6 +718,28 @@ def main():
                     flush=True,
                 )
 
+    # STRICT-FAITHFUL anchor (VERDICT round-4 item 4): the plain
+    # reference-style leg above inherits the framework's dense momentum
+    # layout; this one also stores momentum in the reference's own narrow
+    # (n_blocks, 16) order — the closest reproduction of the reference's
+    # actual computation this rig can run. Both ratios are reported.
+    strict = None
+    strict_batch = ref_batch
+    if not skip_ref and os.environ.get("BENCH_SKIP_STRICT", "") != "1":
+        for strict_batch in dict.fromkeys((ref_batch, 4)):
+            try:
+                strict = run_leg(
+                    family, strict_batch, res, max(4, steps // 2),
+                    reference_style=True, ref_strict=True,
+                )
+                break
+            except Exception as exc:
+                print(
+                    f"# ref-strict leg failed at batch {strict_batch}: "
+                    f"{type(exc).__name__}",
+                    flush=True,
+                )
+
     if ref:
         vs_baseline = opt["images_per_sec_per_chip"] / ref[
             "images_per_sec_per_chip"
@@ -736,14 +789,88 @@ def main():
         record["ref_style_p50_step_time_s"] = ref["p50_step_time_s"]
         record["ref_style_mfu"] = ref["mfu"]
         record["ref_style_batch_size"] = ref_batch
-    if RECORDED_CONFIG_LEGS and not os.environ.get("BENCH_CONFIGS"):
-        record["recorded_config_legs"] = RECORDED_CONFIG_LEGS
+    if strict:
+        record["vs_baseline_strict"] = round(
+            opt["images_per_sec_per_chip"]
+            / strict["images_per_sec_per_chip"],
+            4,
+        )
+        record["ref_strict_images_per_sec_per_chip"] = strict[
+            "images_per_sec_per_chip"
+        ]
+        record["ref_strict_p50_step_time_s"] = strict["p50_step_time_s"]
+        record["ref_strict_mfu"] = strict["mfu"]
+        record["ref_strict_batch_size"] = strict_batch
+
+    # BASELINE configs 3-5: run LIVE within the remaining time budget
+    # (BENCH_TIME_BUDGET_S from process start, default 2700s) and embed the
+    # fresh numbers in the headline record; a leg that doesn't fit the
+    # budget (or fails) falls back to its RECORDED_CONFIG_LEGS entry,
+    # marked "fresh": false. BENCH_CONFIGS (comma list or "all") keeps the
+    # explicit mode: those legs print their own JSON lines after the
+    # headline and the embedded table is skipped.
+    extra = os.environ.get("BENCH_CONFIGS", "")
+    if not extra and os.environ.get("BENCH_SKIP_CONFIG_LEGS", "") != "1":
+        # print the headline record IMMEDIATELY (with the recorded legs as
+        # provisional fallback), so a driver timeout mid-legs still leaves
+        # a complete artifact; the FINAL record with live legs prints after
+        # and supersedes it for last-line consumers
+        print(json.dumps({
+            **record,
+            "config_legs": {
+                k: {**v, "fresh": False} for k, v in
+                RECORDED_CONFIG_LEGS.items()
+            },
+            "config_legs_note": "provisional; final record follows",
+        }), flush=True)
+        budget = float(os.environ.get("BENCH_TIME_BUDGET_S", "2700"))
+        # ~ the longest observed leg (SDXL compile + timed steps) plus slack
+        min_leg_s = float(os.environ.get("BENCH_MIN_LEG_S", "420"))
+        legs = {}
+        for name in EXTRA_LEGS:
+            recorded_key = next(
+                (k for k in RECORDED_CONFIG_LEGS if k.startswith(name)), None
+            )
+            remaining = budget - (time.monotonic() - _T_START)
+            if remaining < min_leg_s:
+                if recorded_key:
+                    legs[recorded_key] = {
+                        **RECORDED_CONFIG_LEGS[recorded_key],
+                        "fresh": False,
+                        "skip_reason": "time_budget",
+                    }
+                continue
+            try:
+                r = run_extra_leg(name, max(4, steps // 2))
+            except Exception as exc:
+                print(f"# config-{name} leg crashed: {type(exc).__name__}",
+                      flush=True)
+                r = {"value": None}
+            key = r.get("metric", f"config_{name}").replace(
+                "train_images_per_sec_per_chip_", f"{name}_"
+            )
+            if r.get("value") is not None:
+                legs[key] = {
+                    "images_per_sec_per_chip": r["value"],
+                    "batch_size": r.get("batch_size"),
+                    "mfu": r.get("mfu"),
+                    "p50_step_time_s": r.get("p50_step_time_s"),
+                    "fresh": True,
+                }
+                if r.get("ff_remat"):
+                    legs[key]["ff_remat"] = True
+            elif recorded_key:
+                legs[recorded_key] = {
+                    **RECORDED_CONFIG_LEGS[recorded_key],
+                    "fresh": False,
+                    "skip_reason": "leg_failed",
+                }
+        record["config_legs"] = legs
     print(json.dumps(record))
 
     # BENCH_CONFIGS="3,4,5" (or "all") appends one JSON line per extra
     # BASELINE config AFTER the headline line (which stays first so
     # line-oriented consumers keep reading the primary metric)
-    extra = os.environ.get("BENCH_CONFIGS", "")
     if extra:
         names = (
             list(EXTRA_LEGS) if extra == "all" else

@@ -12,7 +12,9 @@ from typing import Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
+from flax.linen.dtypes import promote_dtype
 
+from ..ops.conv import polyphase_stride2_conv
 from .attention import Transformer2DModel
 
 
@@ -127,6 +129,32 @@ class ResnetBlock2D(nn.Module):
         return hidden_states + residual
 
 
+class _PolyphaseStride2Conv(nn.Module):
+    """Drop-in for the stride-2 3x3 ``nn.Conv``, computed as four stride-1
+    polyphase convs (``ops.conv.polyphase_stride2_conv``). Param names and
+    shapes (``kernel``/``bias``) are identical to ``nn.Conv``, so checkpoints
+    are interchangeable between the two forms."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+    asymmetric_padding: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (3, 3, x.shape[-1], self.features),
+            self.param_dtype,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros_init(), (self.features,), self.param_dtype
+        )
+        x, kernel, bias = promote_dtype(x, kernel, bias, dtype=self.dtype)
+        return polyphase_stride2_conv(x, kernel, self.asymmetric_padding) + bias
+
+
 class Downsample2D(nn.Module):
     """Stride-2 3x3 conv downsample."""
 
@@ -135,9 +163,22 @@ class Downsample2D(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
     # VAE encoder uses asymmetric (0,1) padding; UNet uses symmetric 1.
     asymmetric_padding: bool = False
+    # polyphase: compute the same 9 taps as four stride-1 convs; param tree
+    # is unchanged, output allclose (f32-accumulated either way). Measured
+    # SLOWER on-chip (benchmarks/downsample_poly_ab.py) — kept as a
+    # documented negative result, off by default.
+    polyphase: bool = False
 
     @nn.compact
     def __call__(self, hidden_states):
+        if self.polyphase:
+            return _PolyphaseStride2Conv(
+                self.out_channels,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                asymmetric_padding=self.asymmetric_padding,
+                name="conv",
+            )(hidden_states)
         pad = ((0, 1), (0, 1)) if self.asymmetric_padding else ((1, 1), (1, 1))
         return nn.Conv(
             self.out_channels,

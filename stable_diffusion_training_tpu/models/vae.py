@@ -100,6 +100,7 @@ class DownEncoderBlock2D(nn.Module):
     add_downsample: bool
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
+    polyphase_downsample: bool = False
 
     @nn.compact
     def __call__(self, sample, deterministic: bool = True):
@@ -114,6 +115,7 @@ class DownEncoderBlock2D(nn.Module):
             sample = Downsample2D(
                 self.out_channels,
                 asymmetric_padding=True,
+                polyphase=self.polyphase_downsample,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 name="downsamplers_0",
@@ -183,6 +185,7 @@ class Encoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
     attention_backend: str = "auto"
+    polyphase_downsample: bool = False
 
     @nn.compact
     def __call__(self, sample, deterministic: bool = True):
@@ -200,6 +203,7 @@ class Encoder(nn.Module):
                 out_channels=out_ch,
                 num_layers=self.layers_per_block,
                 add_downsample=i < len(self.block_out_channels) - 1,
+                polyphase_downsample=self.polyphase_downsample,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 name=f"down_blocks_{i}",
@@ -298,6 +302,7 @@ class VaeCore(nn.Module):
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
     attention_backend: str = "auto"
+    polyphase_downsample: bool = False
 
     def setup(self):
         self.encoder = Encoder(
@@ -307,6 +312,7 @@ class VaeCore(nn.Module):
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             attention_backend=self.attention_backend,
+            polyphase_downsample=self.polyphase_downsample,
         )
         self.decoder = Decoder(
             block_out_channels=self.block_out_channels,
@@ -362,6 +368,7 @@ class AutoencoderKL(ConfigurableMixin):
         param_dtype: jnp.dtype = jnp.float32,
         data_format: str = "NCHW",
         attention_backend: str = "auto",
+        polyphase_downsample: bool = False,
     ):
         self._register_config(dict(locals()))
         assert data_format in ("NCHW", "NHWC")
@@ -376,9 +383,13 @@ class AutoencoderKL(ConfigurableMixin):
             dtype=dtype,
             param_dtype=param_dtype,
             attention_backend=attention_backend,
+            polyphase_downsample=polyphase_downsample,
         )
 
-    ignore_for_config = ("dtype", "param_dtype", "data_format", "attention_backend")
+    ignore_for_config = (
+        "dtype", "param_dtype", "data_format", "attention_backend",
+        "polyphase_downsample",
+    )
 
     def init(self, rng, batch_size: int = 1, resolution: int = 32):
         sample = jnp.zeros((batch_size, resolution, resolution, 3), self.dtype)

@@ -67,6 +67,12 @@ class TrainingConfig:
     train_text_encoder: bool = True
     mixed_precision: str = "bfloat16"  # computation dtype for the models
     attention_backend: str = "auto"  # "auto" | "flash" | "xla"
+    # compute the VAE encoder's stride-2 downsample convs as four stride-1
+    # polyphase convs (ops.conv) — same 9 taps, f32-accumulated either way,
+    # allclose but not bitwise vs the fused stride-2 form. Off: the on-chip
+    # A/B (benchmarks/downsample_poly_ab.py) measured it 1.5-2.8x SLOWER
+    # (phase-slice extraction dominates); kept as a recorded negative.
+    vae_polyphase_downsample: bool = False
     # route quantized momentum through the fused Pallas kernel; None = auto
     # (on for TPU backends). False gives the reference-style XLA-fused path.
     use_pallas_lion: Optional[bool] = None

@@ -94,6 +94,7 @@ def load_models(training_config: TrainingConfig) -> dict:
         vae = AutoencoderKL.from_config(
             vae_cfg,
             attention_backend=training_config.attention_backend,
+            polyphase_downsample=training_config.vae_polyphase_downsample,
             **common,
         )
         text_encoder = CLIPTextModel.from_config(
@@ -120,6 +121,7 @@ def load_models(training_config: TrainingConfig) -> dict:
         vae = AutoencoderKL(
             **family["vae"],
             attention_backend=training_config.attention_backend,
+            polyphase_downsample=training_config.vae_polyphase_downsample,
             **common,
         )
         text_encoder = CLIPTextModel(**family["text_encoder"], dtype=dtype, param_dtype=dtype)
