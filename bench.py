@@ -668,6 +668,28 @@ def main():
         }))
         return
 
+    # persistent compile cache across bench invocations: first compiles
+    # through the remote tunnel ate the config-leg time budget in earlier
+    # sessions (PERF_NOTES round-5 anchor capture), so serialized
+    # executables from a prior run let a later one (e.g. the driver's)
+    # spend its budget on measurement instead. jax keys entries by
+    # program+jaxlib+backend, so staleness is self-invalidating.
+    if os.environ.get("BENCH_COMPILE_CACHE", "1") == "1":
+        try:
+            from stable_diffusion_training_tpu.train.aot import (
+                initialize_compilation_cache,
+            )
+            initialize_compilation_cache(
+                os.environ.get(
+                    "BENCH_COMPILE_CACHE_DIR", "/tmp/jax_cache_bench"
+                )
+            )
+        except Exception as exc:  # cache is an optimization, never fatal
+            print(
+                f"# compile cache unavailable: {type(exc).__name__}",
+                flush=True,
+            )
+
     # headline leg with a bounded batch-fallback ladder: co-tenant HBM
     # pressure can push the preferred operating point out of memory at
     # capture time; a smaller live measurement beats no artifact. Only
