@@ -35,6 +35,16 @@ BENCH_PEAK_TFLOPS (chip peak override, bf16 TFLOP/s), BENCH_SKIP_PEAK=1
 BASELINE config legs live and print one JSON line each; otherwise the
 recorded values ride along in the headline record), BENCH_GRAD_CKPT=1 /
 BENCH_FF_REMAT=1 (remat variants), BENCH_ATTN (attention backend override).
+
+Process model: every leg (headline ladder attempt, anchors, device probes,
+config legs) runs in its OWN child process (``bench.py --one-leg <json>``),
+sharing compiles via the persistent cache. Two reasons, both measured on
+this rig (2026-08-19): an oversized SDXL compile can crash the relay's
+tpu_compile_helper and poison every later attempt in the same process, and
+the tunneled platform serializes chip claims across processes, so the
+orchestrating parent must never claim the TPU itself. BENCH_SUBPROC=0
+restores the old in-process mode; BENCH_ATTEMPT_TIMEOUT_S /
+BENCH_HEADLINE_TIMEOUT_S bound each child.
 """
 
 import json
@@ -551,7 +561,14 @@ EXTRA_LEGS = {
         batches=((8, dict(ff_remat=True)), 6, 4, 2),
     ),
     "4": dict(  # SDXL-scale UNet + gradient checkpointing
-        family="sdxl", res=1024, batches=(8, 4, 2, 1),
+        # b8 is off the ladder: its compile exceeds the relay helper's
+        # resource cap (JaxRuntimeError, observed 2026-08-17 and again
+        # 2026-08-19 — the latter crash poisoned every later in-process
+        # attempt, which is what motivated the child-process isolation),
+        # and a failed compile can never be served by the cache, so the
+        # attempt re-costs ~10 min every run. Largest feasible is b4
+        # (3.01 img/s, MFU 41.6% — the recommended SDXL recipe).
+        family="sdxl", res=1024, batches=(4, 2, 1),
         cached=True, frozen_te=True, grad_ckpt=True,
     ),
     "5": dict(  # SDXL 1024² + offline latent cache + frozen text encoders
@@ -561,10 +578,139 @@ EXTRA_LEGS = {
 }
 
 
-def run_extra_leg(name, steps):
+def _init_compile_cache():
+    """Enable the persistent jax compilation cache (BENCH_COMPILE_CACHE=0
+    disables). Serialized executables keyed by program+jaxlib+backend let a
+    later bench invocation — or a child leg process — skip the slow remote
+    compiles (measured 6m36s vs 13m54s for an identical SDXL leg)."""
+    if os.environ.get("BENCH_COMPILE_CACHE", "1") != "1":
+        return
+    try:
+        from stable_diffusion_training_tpu.train.aot import (
+            initialize_compilation_cache,
+        )
+        initialize_compilation_cache(
+            os.environ.get("BENCH_COMPILE_CACHE_DIR", "/tmp/jax_cache_bench")
+        )
+    except Exception as exc:  # cache is an optimization, never fatal
+        print(f"# compile cache unavailable: {type(exc).__name__}",
+              flush=True)
+
+
+def _run_leg_raw(spec):
+    """Execute one leg spec in THIS process (child body / in-proc fallback).
+
+    ``kind: "probes"`` runs the measured-achievable device probes; anything
+    else is a ``run_leg`` kwargs dict."""
+    spec = dict(spec)
+    kind = spec.pop("kind", "leg")
+    if kind == "noop":
+        # harness self-test: exercises the child protocol (TPU claim,
+        # LEG_RESULT round-trip) without compiling anything
+        return {"noop": True}
+    if kind == "probes":
+        return {
+            "measured_peak_tflops": round(_measured_peak_flops() / 1e12, 2),
+            "measured_hbm_gbps": round(_measured_hbm_bandwidth(), 1),
+            "measured_conv_tflops": round(_measured_conv_tflops(), 1),
+        }
+    return run_leg(**spec)
+
+
+def _one_leg_main(spec_json):
+    """Child-process entry (``bench.py --one-leg '<json>'``): claim the TPU,
+    run ONE leg, print the result as a ``LEG_RESULT`` line. Crash isolation
+    is the point: the 2026-08-19 full-bench capture showed one oversized
+    SDXL compile killing the relay's tpu_compile_helper and poisoning every
+    later in-process attempt (all batches JaxRuntimeError) while a fresh
+    process ran the same leg fine — so each attempt now gets its own
+    process, sharing compiles via the persistent cache."""
+    import jax.numpy as jnp
+
+    spec = json.loads(spec_json)
+    _init_compile_cache()
+    # force a real device claim before reporting init (jax.devices() alone
+    # succeeds even when the tunneled chip's pool claim would hang)
+    float(jnp.zeros((8,), jnp.float32).sum())
+    print("LEG_TPU_INIT_OK", flush=True)
+    result = _run_leg_raw(spec)
+    print("LEG_RESULT " + json.dumps(result), flush=True)
+
+
+def _leg_in_child(spec, timeout_s):
+    """Run one leg spec in a child process. Returns (result|None, err|None,
+    init_ok) — init_ok False means the child never claimed the TPU, which
+    callers treat as "try in-process" rather than a genuine leg failure."""
+    import subprocess
+    import sys
+
+    cmd = [sys.executable, "-u", os.path.abspath(__file__),
+           "--one-leg", json.dumps(spec)]
+    try:
+        # stdout captured for parsing; stderr inherited so compile noise and
+        # child tracebacks stay visible in the bench log
+        proc = subprocess.run(
+            cmd, stdout=subprocess.PIPE, text=True, timeout=timeout_s,
+        )
+        out, rc = proc.stdout or "", proc.returncode
+    except subprocess.TimeoutExpired as exc:
+        out = exc.stdout or ""
+        if isinstance(out, bytes):
+            out = out.decode(errors="replace")
+        return None, f"timeout after {timeout_s:.0f}s", (
+            "LEG_TPU_INIT_OK" in out
+        )
+    result, init_ok = None, False
+    for line in out.splitlines():
+        if line == "LEG_TPU_INIT_OK":
+            init_ok = True
+        elif line.startswith("LEG_RESULT "):
+            result = json.loads(line[len("LEG_RESULT "):])
+        elif line.strip():
+            print(f"# [leg] {line}", file=sys.stderr, flush=True)
+    if result is not None:
+        return result, None, init_ok
+    return None, f"child exit {rc}", init_ok
+
+
+# Once ANY leg has run in this process, every later leg must too: the
+# tunneled platform serializes chip claims across processes (measured
+# 2026-08-19 — a child's first allocation blocks indefinitely while the
+# parent holds a live client), so mixing in-process and child legs would
+# wedge every subsequent child until its timeout.
+_FORCE_INPROC = False
+
+
+def _attempt_leg(spec, timeout_s, label):
+    """One leg attempt: child process first (crash/HBM isolation), falling
+    back to in-process only when the child died before claiming the TPU
+    (init flake / platform refusing a second client). Raises on failure so
+    callers' batch-fallback ladders work unchanged. BENCH_SUBPROC=0 forces
+    the old everything-in-process mode."""
+    global _FORCE_INPROC
+    if _FORCE_INPROC or os.environ.get("BENCH_SUBPROC", "1") != "1":
+        return _run_leg_raw(spec)
+    result, err, init_ok = _leg_in_child(spec, timeout_s)
+    if result is not None:
+        return result
+    if not init_ok and "timeout" not in (err or ""):
+        print(f"# {label}: child failed before TPU init ({err}); "
+              "switching to in-process legs", flush=True)
+        _FORCE_INPROC = True
+        return _run_leg_raw(spec)
+    raise RuntimeError(f"{label}: {err}")
+
+
+def run_extra_leg(name, steps, deadline=None):
+    """Run one BASELINE config leg down its batch ladder. ``deadline`` is an
+    absolute ``time.monotonic()`` cutoff: each attempt's child gets
+    ``min(BENCH_ATTEMPT_TIMEOUT_S, max(BENCH_MIN_LEG_S, deadline - now))``
+    so a wedged compile can't eat the rest of the budget."""
     spec = dict(EXTRA_LEGS[name])
     batches = spec.pop("batches")
     family, res = spec.pop("family"), spec.pop("res")
+    attempt_cap = float(os.environ.get("BENCH_ATTEMPT_TIMEOUT_S", "1800"))
+    min_leg_s = float(os.environ.get("BENCH_MIN_LEG_S", "420"))
     for b in batches:
         # a ladder entry is either a batch size or (batch, overrides) —
         # e.g. config-3's winning variant is FF-remat at b8, with plain
@@ -572,9 +718,17 @@ def run_extra_leg(name, steps):
         overrides = {}
         if isinstance(b, (tuple, list)):
             b, overrides = b
+        timeout_s = attempt_cap
+        if deadline is not None:
+            timeout_s = min(
+                attempt_cap, max(min_leg_s, deadline - time.monotonic())
+            )
         try:
-            r = run_leg(family, b, res, steps, reference_style=False,
-                        **{**spec, **overrides})
+            leg_spec = dict(
+                family=family, batch=b, res=res, steps=steps,
+                reference_style=False, **{**spec, **overrides},
+            )
+            r = _attempt_leg(leg_spec, timeout_s, f"config-{name} b{b}")
             return {
                 "metric": f"train_images_per_sec_per_chip_{family}_{res}"
                 + ("_cached" if spec.get("cached") else ""),
@@ -588,9 +742,10 @@ def run_extra_leg(name, steps):
                 **{k: v for k, v in overrides.items() if v},
             }
         except Exception as exc:
+            msg = str(exc).replace("\n", " ")[:200]
             print(
                 f"# config-{name} leg failed at batch {b}: "
-                f"{type(exc).__name__}",
+                f"{type(exc).__name__}: {msg}",
                 flush=True,
             )
     return {"metric": f"baseline_config_{name}", "value": None,
@@ -673,22 +828,14 @@ def main():
     # sessions (PERF_NOTES round-5 anchor capture), so serialized
     # executables from a prior run let a later one (e.g. the driver's)
     # spend its budget on measurement instead. jax keys entries by
-    # program+jaxlib+backend, so staleness is self-invalidating.
-    if os.environ.get("BENCH_COMPILE_CACHE", "1") == "1":
-        try:
-            from stable_diffusion_training_tpu.train.aot import (
-                initialize_compilation_cache,
-            )
-            initialize_compilation_cache(
-                os.environ.get(
-                    "BENCH_COMPILE_CACHE_DIR", "/tmp/jax_cache_bench"
-                )
-            )
-        except Exception as exc:  # cache is an optimization, never fatal
-            print(
-                f"# compile cache unavailable: {type(exc).__name__}",
-                flush=True,
-            )
+    # program+jaxlib+backend, so staleness is self-invalidating. Child leg
+    # processes initialize it themselves; this covers in-process fallback.
+    _init_compile_cache()
+
+    headline_timeout = float(
+        os.environ.get("BENCH_HEADLINE_TIMEOUT_S", "2400")
+    )
+    anchor_timeout = float(os.environ.get("BENCH_ATTEMPT_TIMEOUT_S", "1800"))
 
     # headline leg with a bounded batch-fallback ladder: co-tenant HBM
     # pressure can push the preferred operating point out of memory at
@@ -699,7 +846,11 @@ def main():
     ladder = [batch] + [b for b in (12, 8, 4) if b < batch][:2]
     for batch in ladder:
         try:
-            opt = run_leg(family, batch, res, steps, reference_style=False)
+            opt = _attempt_leg(
+                dict(family=family, batch=batch, res=res, steps=steps,
+                     reference_style=False),
+                headline_timeout, f"headline b{batch}",
+            )
             break
         except Exception as exc:
             print(
@@ -728,15 +879,17 @@ def main():
         candidates = (batch, 4) if batch <= 8 else (8, 4)
         for ref_batch in dict.fromkeys(candidates):
             try:
-                ref = run_leg(
-                    family, ref_batch, res, max(4, steps // 2),
-                    reference_style=True,
+                ref = _attempt_leg(
+                    dict(family=family, batch=ref_batch, res=res,
+                         steps=max(4, steps // 2), reference_style=True),
+                    anchor_timeout, f"reference-style b{ref_batch}",
                 )
                 break
             except Exception as exc:
                 print(
                     f"# reference-style leg failed at batch {ref_batch}: "
-                    f"{type(exc).__name__}",
+                    f"{type(exc).__name__}: "
+                    f"{str(exc)[:200]}",
                     flush=True,
                 )
 
@@ -750,15 +903,17 @@ def main():
     if not skip_ref and os.environ.get("BENCH_SKIP_STRICT", "") != "1":
         for strict_batch in dict.fromkeys((ref_batch, 4)):
             try:
-                strict = run_leg(
-                    family, strict_batch, res, max(4, steps // 2),
-                    reference_style=True, ref_strict=True,
+                strict = _attempt_leg(
+                    dict(family=family, batch=strict_batch, res=res,
+                         steps=max(4, steps // 2), reference_style=True,
+                         ref_strict=True),
+                    anchor_timeout, f"ref-strict b{strict_batch}",
                 )
                 break
             except Exception as exc:
                 print(
                     f"# ref-strict leg failed at batch {strict_batch}: "
-                    f"{type(exc).__name__}",
+                    f"{type(exc).__name__}: {str(exc)[:200]}",
                     flush=True,
                 )
 
@@ -790,20 +945,18 @@ def main():
     }
     if os.environ.get("BENCH_SKIP_PEAK", "") != "1":
         try:
-            measured = _measured_peak_flops()
-            record["measured_peak_tflops"] = round(measured / 1e12, 2)
+            probes = _attempt_leg({"kind": "probes"}, 900, "device probes")
+            record.update(probes)
+            measured = (probes.get("measured_peak_tflops") or 0) * 1e12
             if opt.get("flops_per_step") and measured:
                 record["mfu_vs_measured"] = round(
                     opt["flops_per_step"]
                     / (opt["p50_step_time_s"] * measured * opt["n_chips"]),
                     4,
                 )
-            record["measured_hbm_gbps"] = round(_measured_hbm_bandwidth(), 1)
-            record["measured_conv_tflops"] = round(
-                _measured_conv_tflops(), 1
-            )
-        except Exception:
-            pass
+        except Exception as exc:
+            print(f"# device probes failed: {type(exc).__name__}: "
+                  f"{str(exc)[:200]}", flush=True)
     if ref:
         record["ref_style_images_per_sec_per_chip"] = ref[
             "images_per_sec_per_chip"
@@ -863,10 +1016,12 @@ def main():
                     }
                 continue
             try:
-                r = run_extra_leg(name, max(4, steps // 2))
+                r = run_extra_leg(
+                    name, max(4, steps // 2), deadline=_T_START + budget
+                )
             except Exception as exc:
-                print(f"# config-{name} leg crashed: {type(exc).__name__}",
-                      flush=True)
+                print(f"# config-{name} leg crashed: {type(exc).__name__}: "
+                      f"{str(exc)[:200]}", flush=True)
                 r = {"value": None}
             key = r.get("metric", f"config_{name}").replace(
                 "train_images_per_sec_per_chip_", f"{name}_"
@@ -903,4 +1058,9 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if len(sys.argv) >= 3 and sys.argv[1] == "--one-leg":
+        _one_leg_main(sys.argv[2])
+    else:
+        main()
