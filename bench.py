@@ -261,7 +261,14 @@ def _build_config(
         text_encoder_learning_rate=1e-4,
         lr_scheduler="constant",
         adam_to_lion_scale_factor=7.0,
-        compilation_cache_path="/tmp/jax_cache_bench",
+        # honor the bench cache knobs: BENCH_COMPILE_CACHE=0 must give a
+        # genuinely cold leg (the AOT path re-initializes the cache from
+        # this field, which previously re-enabled it behind the knob)
+        compilation_cache_path=(
+            os.environ.get("BENCH_COMPILE_CACHE_DIR", "/tmp/jax_cache_bench")
+            if os.environ.get("BENCH_COMPILE_CACHE", "1") == "1"
+            else None
+        ),
         keep_compiled_fn_in_cache=True,
         text_encoder_context_window=77,
         context_window_concatenation_count=3,
@@ -711,7 +718,7 @@ def run_extra_leg(name, steps, deadline=None):
     family, res = spec.pop("family"), spec.pop("res")
     attempt_cap = float(os.environ.get("BENCH_ATTEMPT_TIMEOUT_S", "1800"))
     min_leg_s = float(os.environ.get("BENCH_MIN_LEG_S", "420"))
-    for b in batches:
+    for i, b in enumerate(batches):
         # a ladder entry is either a batch size or (batch, overrides) —
         # e.g. config-3's winning variant is FF-remat at b8, with plain
         # no-remat b6 as the fallback when the remat compile fails
@@ -720,9 +727,16 @@ def run_extra_leg(name, steps, deadline=None):
             b, overrides = b
         timeout_s = attempt_cap
         if deadline is not None:
-            timeout_s = min(
-                attempt_cap, max(min_leg_s, deadline - time.monotonic())
-            )
+            remaining = deadline - time.monotonic()
+            if i > 0 and remaining < min_leg_s:
+                # budget expired mid-ladder: stop rather than re-arming the
+                # min_leg_s floor for every remaining batch (the caller
+                # admitted this leg while budget remained, so the FIRST
+                # attempt always runs; later ones must still fit)
+                print(f"# config-{name}: budget expired mid-ladder before "
+                      f"batch {b}", flush=True)
+                break
+            timeout_s = min(attempt_cap, max(min_leg_s, remaining))
         try:
             leg_spec = dict(
                 family=family, batch=b, res=res, steps=steps,
@@ -900,7 +914,11 @@ def main():
     # actual computation this rig can run. Both ratios are reported.
     strict = None
     strict_batch = ref_batch
-    if not skip_ref and os.environ.get("BENCH_SKIP_STRICT", "") != "1":
+    # only attempt the strict anchor when the plain reference-style leg
+    # succeeded: strict is the same step plus the slower narrow momentum
+    # layout, so after a ref failure it would almost surely fail too while
+    # burning up to 2x the attempt timeout out of the config-leg budget
+    if ref and os.environ.get("BENCH_SKIP_STRICT", "") != "1":
         for strict_batch in dict.fromkeys((ref_batch, 4)):
             try:
                 strict = _attempt_leg(
@@ -992,6 +1010,7 @@ def main():
         # and supersedes it for last-line consumers
         print(json.dumps({
             **record,
+            "provisional": True,
             "config_legs": {
                 k: {**v, "fresh": False} for k, v in
                 RECORDED_CONFIG_LEGS.items()
@@ -1023,7 +1042,11 @@ def main():
                 print(f"# config-{name} leg crashed: {type(exc).__name__}: "
                       f"{str(exc)[:200]}", flush=True)
                 r = {"value": None}
-            key = r.get("metric", f"config_{name}").replace(
+            # keep the key stable across fresh and fallback records (the
+            # recorded key encodes the recipe, e.g. config-4's "gradckpt",
+            # which the metric name does not) so cross-run consumers track
+            # one leg under one name
+            key = recorded_key or r.get("metric", f"config_{name}").replace(
                 "train_images_per_sec_per_chip_", f"{name}_"
             )
             if r.get("value") is not None:
@@ -1046,8 +1069,12 @@ def main():
     print(json.dumps(record))
 
     # BENCH_CONFIGS="3,4,5" (or "all") appends one JSON line per extra
-    # BASELINE config AFTER the headline line (which stays first so
-    # line-oriented consumers keep reading the primary metric)
+    # BASELINE config AFTER the final headline record. NOTE on line order
+    # in the default mode: a PROVISIONAL headline record (marked
+    # "provisional": true, recorded legs only) prints before the config
+    # legs run, so a driver killed mid-legs still gets a complete artifact;
+    # the FINAL record (live legs, no "provisional" key) is always the
+    # LAST headline-metric line — last-line consumers get fresh data.
     if extra:
         names = (
             list(EXTRA_LEGS) if extra == "all" else

@@ -431,6 +431,17 @@ def scale_by_lion_8bit(
                     codes.reshape(-1, bs), (1.0 / scales_flat)[:, None]
                 ).astype(mu_scale_dtype)
                 return blocks.reshape(shape_struct.shape)
+            if _momentum_layout(codes, scales) == "narrow":
+                # construction already rejects fast+reference layout, and
+                # restore migrates narrow checkpoints before any update —
+                # but falling through to the transposed branch would
+                # SILENTLY scramble every momentum value, so fail loudly
+                # if a narrow leaf ever reaches the fast path
+                raise ValueError(
+                    "lion_compander='fast' cannot consume the reference "
+                    "narrow (n_blocks, block_size) momentum layout; migrate "
+                    "the state or use the exact compander"
+                )
             blocks = _dequantize_fast(codes, 1.0 / scales).astype(
                 mu_scale_dtype
             )

@@ -62,8 +62,8 @@ def params_fsdp_sharding(tree: Any, mesh: Mesh, axis: str = "fsdp"):
 
 def _lion_fsdp_plan(state, mesh: Mesh, axis: str = "fsdp"):
     """Shared FSDP momentum plan for the quantized Lion state: returns
-    ``(eligible_fn, opt_state_shardings)`` or ``None`` when the state has no
-    Lion node (or the axis is trivial).
+    ``(eligible_fn, mu_quant_state, opt_state_shardings)`` or ``None`` when
+    the state has no Lion node (or the axis is trivial).
 
     Dense-eligible momentum leaves (``optim.lion8bit.fsdp_dense_eligible`` —
     the same predicate the optimizer's update dispatch uses, so placement

@@ -269,3 +269,19 @@ class TestReferenceMomentumLayout:
             scale_by_lion_8bit(momentum_layout="reference", compander="fast")
         with pytest.raises(ValueError, match="momentum_layout"):
             scale_by_lion_8bit(momentum_layout="narrow")
+
+    def test_fast_compander_rejects_narrow_momentum_state(self):
+        """A narrow (n_blocks, block_size) momentum leaf reaching the fast
+        compander's dequantize must fail loudly: the transposed-branch
+        fallthrough would silently scramble every momentum value.
+        Construction guards + restore migration normally prevent this; the
+        raise is the backstop for un-migrated states handed in directly."""
+        params = {"w": jnp.ones((4, 32), jnp.float32)}
+        narrow_state = scale_by_lion_8bit(
+            excluded_layer_mask=True, momentum_layout="reference"
+        ).init(params)
+        fast_tx = scale_by_lion_8bit(excluded_layer_mask=True,
+                                     compander="fast")
+        grads = jax.tree_util.tree_map(jnp.ones_like, params)
+        with pytest.raises(ValueError, match="narrow"):
+            fast_tx.update(grads, narrow_state, params)
