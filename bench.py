@@ -69,15 +69,18 @@ RECORDED_BASELINE = float(os.environ.get("BENCH_BASELINE", "0")) or 11.2
 # fit the budget or fails falls back to its entry here, marked
 # "fresh": false with its capture date.
 RECORDED_CONFIG_LEGS = {
-    "3_sd21_768": {"images_per_sec_per_chip": 8.85, "batch_size": 8,
-                   "mfu": 0.33, "ff_remat": True,
-                   "recorded_on": "2026-08-18"},
-    "4_sdxl_1024_gradckpt_cached": {"images_per_sec_per_chip": 3.01,
-                                    "batch_size": 4, "mfu": 0.416,
-                                    "recorded_on": "2026-08-17"},
-    "5_sdxl_1024_cached": {"images_per_sec_per_chip": 2.92,
-                           "batch_size": 2, "mfu": 0.321,
-                           "recorded_on": "2026-08-17"},
+    "3_sd21_768": {"images_per_sec_per_chip": 8.77, "batch_size": 8,
+                   "mfu": 0.353, "ff_remat": True,
+                   "recorded_on": "2026-08-19"},
+    # b4 (3.01 img/s, MFU 41.6%, 2026-08-17 — the recommended recipe's
+    # operating point) OOM'd at runtime under 2026-08-19 co-tenant HBM
+    # pressure; the ladder landed at b2 that day
+    "4_sdxl_1024_gradckpt_cached": {"images_per_sec_per_chip": 2.48,
+                                    "batch_size": 2, "mfu": 0.325,
+                                    "recorded_on": "2026-08-19"},
+    "5_sdxl_1024_cached": {"images_per_sec_per_chip": 2.87,
+                           "batch_size": 2, "mfu": 0.315,
+                           "recorded_on": "2026-08-19"},
 }
 
 # bf16 peak TFLOP/s per chip by device kind substring
@@ -827,11 +830,12 @@ def main():
             "vs_baseline": None,
             "error": "tpu_unavailable_at_bench_time",
             "recorded_not_fresh": True,
-            "recorded_on": "2026-08-18",
+            "recorded_on": "2026-08-19",
             "recorded_headline": {
-                "images_per_sec_per_chip": 24.18, "vs_baseline": 2.0446,
+                "images_per_sec_per_chip": 23.72, "vs_baseline": 2.0307,
                 "baseline_anchor": "same_session_reference_style_step_batch8",
-                "batch_size": 16, "mfu": 0.411, "mfu_vs_measured": 0.738,
+                "vs_baseline_strict": 2.5563,
+                "batch_size": 16, "mfu": 0.4029, "mfu_vs_measured": 0.7298,
             },
             "recorded_config_legs": RECORDED_CONFIG_LEGS,
         }))
