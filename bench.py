@@ -54,8 +54,6 @@ import time
 import jax
 import numpy as np
 
-_T_START = time.monotonic()
-
 # images/sec/chip recorded for this benchmark's first honest (value-synced)
 # round-1 run on the target chip (v5e, SD1.5 512² batch 8 bf16: p50 717ms);
 # fallback anchor when the reference-style leg is skipped.
@@ -781,8 +779,17 @@ def _tpu_available(timeout_s: int = 240) -> bool:
     import sys
 
     try:
+        # probe with a REAL allocation, not just jax.devices(): the device
+        # listing succeeds even while the chip's pool claim is held by a
+        # co-tenant (observed 2026-08-19, >25 min block) — only the first
+        # buffer allocation exposes a claim-blocked chip, and catching it
+        # here yields a clean fallback record instead of hours of leg
+        # timeouts
         proc = subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices(); print('up')"],
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp; "
+             "print('up' if float(jnp.zeros((8,), jnp.float32).sum()) == 0.0"
+             " else 'bad')"],
             capture_output=True, timeout=timeout_s, text=True,
         )
         return proc.returncode == 0 and "up" in proc.stdout
@@ -794,10 +801,11 @@ def _tpu_available_with_retry() -> bool:
     """Bounded retry/backoff around the TPU probe: the rig's outages are
     often transient pool-claim contention, so one failed probe should not
     condemn the whole capture window to a recorded-values artifact.
-    BENCH_TPU_RETRIES probes (default 3), BENCH_TPU_BACKOFF_S between them
-    (default 60) — worst case ~14 min before giving up."""
-    retries = int(os.environ.get("BENCH_TPU_RETRIES", "3"))
-    backoff = float(os.environ.get("BENCH_TPU_BACKOFF_S", "60"))
+    BENCH_TPU_RETRIES probes (default 5), BENCH_TPU_BACKOFF_S between them
+    (default 120) — worst case ~28 min before giving up (sized to outlast
+    the 25-min co-tenant claim block observed 2026-08-19)."""
+    retries = int(os.environ.get("BENCH_TPU_RETRIES", "5"))
+    backoff = float(os.environ.get("BENCH_TPU_BACKOFF_S", "120"))
     for attempt in range(max(1, retries)):
         if _tpu_available():
             return True
@@ -840,6 +848,11 @@ def main():
             "recorded_config_legs": RECORDED_CONFIG_LEGS,
         }))
         return
+
+    # the config-leg time budget runs from the moment the chip became
+    # claimable, not process start: a long (but won) probe wait must not
+    # eat the budget and silently downgrade every leg to recorded values
+    budget_start = time.monotonic()
 
     # persistent compile cache across bench invocations: first compiles
     # through the remote tunnel ate the config-leg time budget in earlier
@@ -1000,7 +1013,7 @@ def main():
         record["ref_strict_batch_size"] = strict_batch
 
     # BASELINE configs 3-5: run LIVE within the remaining time budget
-    # (BENCH_TIME_BUDGET_S from process start, default 2700s) and embed the
+    # (BENCH_TIME_BUDGET_S from chip-claimable time, default 2700s); embed the
     # fresh numbers in the headline record; a leg that doesn't fit the
     # budget (or fails) falls back to its RECORDED_CONFIG_LEGS entry,
     # marked "fresh": false. BENCH_CONFIGS (comma list or "all") keeps the
@@ -1029,7 +1042,7 @@ def main():
             recorded_key = next(
                 (k for k in RECORDED_CONFIG_LEGS if k.startswith(name)), None
             )
-            remaining = budget - (time.monotonic() - _T_START)
+            remaining = budget - (time.monotonic() - budget_start)
             if remaining < min_leg_s:
                 if recorded_key:
                     legs[recorded_key] = {
@@ -1040,7 +1053,7 @@ def main():
                 continue
             try:
                 r = run_extra_leg(
-                    name, max(4, steps // 2), deadline=_T_START + budget
+                    name, max(4, steps // 2), deadline=budget_start + budget
                 )
             except Exception as exc:
                 print(f"# config-{name} leg crashed: {type(exc).__name__}: "
