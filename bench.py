@@ -363,6 +363,24 @@ def synthetic_cached_batch(batch, res, ctx_len=227, ctx_dim=2048,
     }
 
 
+def _compiler_options_from_env():
+    """BENCH_COMPILER_OPTIONS: JSON dict of XLA debug options, threaded into
+    PJRT CompileOptions env overrides so they reach the RELAY-side compiler
+    (client XLA_FLAGS never do on the tunneled axon platform). e.g.
+    ``'{"xla_tpu_scoped_vmem_limit_kib": "32768"}'``. Swept 2026-08-19 on the
+    headline leg (PERF_NOTES round 5): scoped-vmem 32M within noise, 64M/96M
+    and the latency-hiding scheduler regress — no default is set."""
+    raw = os.environ.get("BENCH_COMPILER_OPTIONS", "")
+    if not raw:
+        return None
+    opts = json.loads(raw)
+    if not isinstance(opts, dict):
+        raise ValueError(
+            f"BENCH_COMPILER_OPTIONS must be a JSON object, got {type(opts).__name__}"
+        )
+    return {str(k): str(v) for k, v in opts.items()}
+
+
 def run_leg(
     family, batch, res, steps, reference_style,
     cached=False, frozen_te=False, grad_ckpt=None, ff_remat=None,
@@ -443,6 +461,8 @@ def run_leg(
         vae_encode_chunk=1 if (res >= 768 and not cached) else 0,
     )
 
+    compiler_options = _compiler_options_from_env()
+
     # compile ONCE via lower().compile() and reuse the same executable for
     # both cost analysis and the timed runs (calling the jit wrapper after
     # a .lower() would trace+compile the identical program a second time)
@@ -453,7 +473,7 @@ def run_leg(
             unet_state, te_state, None, None, b, jax.random.PRNGKey(0),
             frozen_vae, frozen_sched, **static_kwargs,
         )
-        compiled = lowered.compile()
+        compiled = lowered.compile(compiler_options=compiler_options)
         cost = compiled.cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]

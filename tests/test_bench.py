@@ -202,3 +202,21 @@ def test_one_leg_argv_dispatch_parses_spec(monkeypatch):
 
     bench._one_leg_main(_json.dumps({"family": "sd15", "batch": 2}))
     assert ran["spec"] == {"family": "sd15", "batch": 2}
+
+
+def test_compiler_options_from_env(monkeypatch):
+    # unset -> None (compile() must see compiler_options=None, not {})
+    monkeypatch.delenv("BENCH_COMPILER_OPTIONS", raising=False)
+    assert bench._compiler_options_from_env() is None
+    # values stringified: PJRT env overrides are string->string
+    monkeypatch.setenv(
+        "BENCH_COMPILER_OPTIONS",
+        '{"xla_tpu_scoped_vmem_limit_kib": 32768}',
+    )
+    assert bench._compiler_options_from_env() == {
+        "xla_tpu_scoped_vmem_limit_kib": "32768"
+    }
+    # non-object JSON is a config error, not a silent no-op
+    monkeypatch.setenv("BENCH_COMPILER_OPTIONS", '["not", "a", "dict"]')
+    with pytest.raises(ValueError):
+        bench._compiler_options_from_env()
